@@ -1,13 +1,76 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.OracleSql
+import graft.operators.ExtractPipeline
+import graft.sources.Interleave
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every verified operator has (a) a `queries` entry producing a flat, totally-ordered
+  * DataFrame of scalar columns and (b) an `oracleSql` entry with the exact DuckDB mirror
+  * (see [[graft.functions.OracleSql]] for the parity rules). Aggregate/computed columns
+  * are aliased identically on both sides.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    ocrExtract(spark, "/root/testdata/sf0.001")
+
+  private def ocrExtract(s: SparkSession, dir: String): DataFrame =
+    ExtractPipeline.extractFlat(Interleave.docs(s, dir))
+      .select(col("doc_id"), col("offset"), col("kind"), col("text"),
+        col("media_ref"), col("ok").cast("int").as("ok"), col("error"))
+      .orderBy(col("doc_id"), col("offset"))
+
+  private def extractDocs(s: SparkSession, dir: String): DataFrame = {
+    val flat = ExtractPipeline.extractFlat(Interleave.docs(s, dir))
+    flat.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_spans"),
+      sum(when(col("error").isNotNull, 1L).otherwise(0L)).as("n_err"),
+      min(col("ok")).cast("int").as("all_ok"),
+      array_join(
+        transform(array_sort(collect_list(struct(col("offset"), col("text")))),
+          x => x.getField("text")), " | ").as("content"),
+      array_join(
+        transform(array_sort(collect_list(
+          when(col("error").isNotNull, struct(col("offset"), col("error"))))),
+          x => x.getField("error")), ";").as("errors")
+    ).orderBy(col("doc_id"))
+  }
+
+  private def extractMetrics(s: SparkSession, dir: String): DataFrame = {
+    val flat = ExtractPipeline.extractFlat(Interleave.docs(s, dir))
+    flat.groupBy(col("lang")).agg(
+      countDistinct(col("doc_id")).as("n_docs"),
+      count(lit(1)).as("n_spans"),
+      sum(when(col("kind") === "image", 1L).otherwise(0L)).as("n_media"),
+      sum(when(col("kind") === "text", 1L).otherwise(0L)).as("n_text"),
+      sum(when(col("error").isNotNull, 1L).otherwise(0L)).as("n_err"),
+      sum(when(col("kind") === "image" && col("ok"), length(col("text")))
+        .otherwise(0L)).cast("long").as("ocr_chars")
+    ).orderBy(col("lang"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "interleave_spans" -> ((s, dir) =>
+      Interleave.spansFlat(s, dir)
+        .select(col("doc_id"), col("kind"), col("media_ref"), col("offset"), col("text"))
+        .orderBy(col("doc_id"), col("offset"))),
+    "ocr_extract" -> (ocrExtract(_, _)),
+    "extract_docs" -> (extractDocs(_, _)),
+    "extract_metrics" -> (extractMetrics(_, _))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "interleave_spans" -> OracleSql.interleaveSpans,
+    "ocr_extract" -> OracleSql.ocrExtract,
+    "extract_docs" -> OracleSql.extractDocs,
+    "extract_metrics" -> OracleSql.extractMetrics
+  )
 }

@@ -1,0 +1,113 @@
+package graft.functions
+
+/**
+ * DuckDB-dialect oracle SQL mirroring the engine's deterministic semantics exactly.
+ *
+ * Every verified query in [[graft.SparkEntry]] has a mirror here; the driver executes
+ * these against the same parquet tables (registered under their bare names) and compares
+ * row/schema/value hashes with the Spark output. Parity rules used throughout:
+ *
+ *  - md5() produces identical lowercase hex in both engines;
+ *  - integer division is written floor(a/b) + CAST .. AS BIGINT (both engines do float
+ *    division on `/`, same IEEE doubles, same floor);
+ *  - DuckDB regexp_replace needs the 'g' flag to match Spark's replace-all default;
+ *  - aggregates that can see zero rows are wrapped in coalesce to match Spark's
+ *    empty-array -> '' behavior;
+ *  - counts/sums are CAST to BIGINT (DuckDB sums integers into HUGEINT);
+ *  - booleans are surfaced as INT 0/1 on both sides;
+ *  - every query has a total ORDER BY.
+ */
+object OracleSql {
+
+  /** Engine model inventory — keep in sync with [[graft.operators.EngineConfig.default]]. */
+  val availableLangsSql = "('en','fr','de','es','ita','eng')"
+
+  /**
+   * Shared CTE prefix: synthesizes the interleaved spans and the extracted spans.
+   * Mirrors [[graft.sources.Interleave]] (synthesis), [[graft.operators.TextClassifier]]
+   * (text branch) and [[graft.operators.DeterministicOcrEngine]] (media branch).
+   */
+  val extractionCtes: String =
+    s"""WITH base AS (
+       |  SELECT doc_id AS d, text, lang, source, n_chars,
+       |         2 + doc_id % 3 AS kt,
+       |         1 + doc_id % 4 + CASE WHEN doc_id % 37 = 0 THEN 24 ELSE 0 END AS km,
+       |         'doc-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS doc_id_s,
+       |         GREATEST(1, CAST(floor(n_chars / (2 + doc_id % 3)) AS BIGINT)) AS cl
+       |  FROM documents
+       |),
+       |tspans AS (
+       |  SELECT b.doc_id_s AS doc_id, b.lang, 'text' AS kind,
+       |         CAST(NULL AS VARCHAR) AS media_ref,
+       |         CAST(i.i * 2 AS INT) AS offset,
+       |         CASE WHEN i.i = b.kt - 1 AND b.d % 23 = 0 THEN
+       |           '<ul><a href="u0">' || substr(b.text, CAST(1 + i.i * b.cl AS INT), CAST(b.cl AS INT)) || '</a><a href="u1">nav menu</a></ul>'
+       |         ELSE
+       |           '<nav>menu ' || b.source || '</nav><h1>s' || CAST(i.i AS VARCHAR) || '</h1><p>' || substr(b.text, CAST(1 + i.i * b.cl AS INT), CAST(b.cl AS INT)) || '</p><a href="u' || CAST(b.d AS VARCHAR) || '">more</a><footer>(c) ' || b.source || '</footer>'
+       |         END AS text
+       |  FROM base b, UNNEST(generate_series(0, b.kt - 1)) AS i(i)
+       |),
+       |mspans AS (
+       |  SELECT b.doc_id_s AS doc_id, b.lang, 'image' AS kind,
+       |         CASE WHEN b.d % 41 = 0 AND j.j = 0 THEN 'missing-' || CAST(b.d AS VARCHAR)
+       |              ELSE 'm-' || CAST(b.d AS VARCHAR) || '-' || CAST(j.j AS VARCHAR) END AS media_ref,
+       |         CAST(j.j * 2 + 1 AS INT) AS offset,
+       |         CAST(NULL AS VARCHAR) AS text
+       |  FROM base b, UNNEST(generate_series(0, b.km - 1)) AS j(j)
+       |),
+       |spans AS (SELECT * FROM tspans UNION ALL SELECT * FROM mspans),
+       |extracted AS (
+       |  SELECT doc_id, lang, "offset", kind,
+       |         CASE WHEN 2 * length(array_to_string(regexp_extract_all(text, '<a [^>]*>([^<]*)</a>', 1), ''))
+       |                   > length(regexp_replace(text, '<[^>]*>', '', 'g'))
+       |              THEN '' ELSE array_to_string(regexp_extract_all(text, '<p>([^<]*)</p>', 1), ' ') END AS text,
+       |         media_ref, 1 AS ok, CAST(NULL AS VARCHAR) AS error
+       |  FROM tspans
+       |  UNION ALL
+       |  SELECT doc_id, lang, "offset", kind, '' AS text, media_ref,
+       |         0 AS ok, 'Unable to load ' || media_ref AS error
+       |  FROM mspans WHERE media_ref LIKE 'missing-%'
+       |  UNION ALL
+       |  SELECT doc_id, lang, "offset", kind, '' AS text, media_ref, 0 AS ok,
+       |         'engine not initialized: ' || lang AS error
+       |  FROM mspans WHERE media_ref NOT LIKE 'missing-%' AND lang NOT IN $availableLangsSql
+       |  UNION ALL
+       |  SELECT m.doc_id, m.lang, m.offset, m.kind,
+       |         'ocr:' || m.lang || ' ' || string_agg(substr(md5(m.h || ':' || CAST(w.w AS VARCHAR)), 1, 6), ' ' ORDER BY w.w) AS text,
+       |         m.media_ref, 1 AS ok, CAST(NULL AS VARCHAR) AS error
+       |  FROM (SELECT *, md5('payload:' || media_ref) AS h FROM mspans
+       |        WHERE media_ref NOT LIKE 'missing-%' AND lang IN $availableLangsSql) m,
+       |       UNNEST(generate_series(0, 8 + 2 * (instr('0123456789abcdef', substr(m.h, 1, 1)) - 1) - 1)) AS w(w)
+       |  GROUP BY m.doc_id, m.lang, m.offset, m.kind, m.media_ref
+       |)""".stripMargin
+
+  val interleaveSpans: String =
+    s"""$extractionCtes
+       |SELECT doc_id, kind, media_ref, "offset", text FROM spans ORDER BY doc_id, "offset"""".stripMargin
+
+  val ocrExtract: String =
+    s"""$extractionCtes
+       |SELECT doc_id, "offset", kind, text, media_ref, ok, error
+       |FROM extracted ORDER BY doc_id, "offset"""".stripMargin
+
+  val extractDocs: String =
+    s"""$extractionCtes
+       |SELECT doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_spans,
+       |       CAST(sum(CASE WHEN error IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_err,
+       |       CAST(min(ok) AS INT) AS all_ok,
+       |       string_agg(text, ' | ' ORDER BY "offset") AS content,
+       |       coalesce(string_agg(error, ';' ORDER BY "offset"), '') AS errors
+       |FROM extracted GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val extractMetrics: String =
+    s"""$extractionCtes
+       |SELECT lang,
+       |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |       CAST(count(*) AS BIGINT) AS n_spans,
+       |       CAST(sum(CASE WHEN kind = 'image' THEN 1 ELSE 0 END) AS BIGINT) AS n_media,
+       |       CAST(sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) AS BIGINT) AS n_text,
+       |       CAST(sum(CASE WHEN error IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_err,
+       |       CAST(sum(CASE WHEN kind = 'image' AND ok = 1 THEN length(text) ELSE 0 END) AS BIGINT) AS ocr_chars
+       |FROM extracted GROUP BY lang ORDER BY lang""".stripMargin
+}

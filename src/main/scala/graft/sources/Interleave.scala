@@ -1,0 +1,119 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic synthesis of the interleaved-document input table
+ * (doc_id, lang, spans:array<struct<kind,text,media_ref,offset>>) from the driver's
+ * `documents.parquet` (doc_id:int64, text, lang, source, n_chars).
+ *
+ * Everything here is a pure function of (doc_id, text, lang, source, n_chars) built from
+ * codegen'd Catalyst expressions (sequence/transform/concat/substr) — no UDF, no RNG, no
+ * clock — so the same table can be reproduced exactly by the DuckDB oracle SQL in
+ * [[graft.functions.OracleSql]]. The synthesis knobs mirror the reference's five Catch2
+ * fixture archetypes (reference tests/CMakeLists.txt:3-7, see FIXTURES.md §3):
+ *
+ *  - text spans carry boilerplate-wrapped markup (nav/heading/paragraph/anchor/footer);
+ *  - every 23rd doc's last text span is a pure link-farm (boilerplate-only archetype);
+ *  - media spans reference synthetic payloads; every 41st doc's first media_ref is
+ *    unresolvable ("invalid image" archetype, tests/test_load_image.py:10-14);
+ *  - 'zh' documents route to a language with no traineddata ("bad engine" archetype,
+ *    tests/test_basic.cpp:31-42);
+ *  - every 37th doc has +24 media spans — the heavy-tailed "multi-page" skew population
+ *    that the salted re-assembly aggregation exists for.
+ */
+object Interleave {
+
+  /** Text-span count per doc: 2..4. */
+  private def kText(d: Column): Column = lit(2) + d % 3
+  /** Media-span count per doc: 1..4, +24 for the skew tail (every 37th doc). */
+  private def kMedia(d: Column): Column =
+    lit(1) + d % 4 + when(d % 37 === 0, 24).otherwise(0)
+
+  /** The interleaved docs table. `replicate` > 1 unions deterministic copies with
+    * distinct doc_ids (bench-only; never used by verified queries). */
+  def docs(spark: SparkSession, sfDir: String, replicate: Int = 1): DataFrame = {
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    val src =
+      if (replicate <= 1) base
+      else {
+        // doc-id space per replica is shifted by a constant stride; content identical.
+        val n = 10000000L
+        (0 until replicate)
+          .map(r => base.withColumn("doc_id", col("doc_id") + lit(r * n)))
+          .reduce(_ unionByName _)
+      }
+    fromDocuments(src)
+  }
+
+  /** Synthesis proper, from any DataFrame with the documents.parquet schema. */
+  def fromDocuments(documents: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val kt = kText(d)
+    val km = kMedia(d)
+    // chunk length: integer floor(n_chars / kt); n_chars >= 48 in the corpus but guard
+    // against degenerate rows anyway.
+    val cl = greatest(lit(1L), floor(col("n_chars") / kt))
+
+    val textSpans = transform(
+      sequence(lit(0L), kt - 1),
+      i => {
+        val raw = col("text").substr((lit(1L) + i * cl).cast("int"), cl.cast("int"))
+        val markup = when(
+          i === kt - 1 && d % 23 === 0,
+          // link-farm archetype: anchors only => link density 1.0 => boilerplate
+          concat(
+            lit("<ul><a href=\"u0\">"), raw,
+            lit("</a><a href=\"u1\">nav menu</a></ul>"))
+        ).otherwise(
+          concat(
+            lit("<nav>menu "), col("source"),
+            lit("</nav><h1>s"), i.cast("string"),
+            lit("</h1><p>"), raw,
+            lit("</p><a href=\"u"), d.cast("string"),
+            lit("\">more</a><footer>(c) "), col("source"), lit("</footer>"))
+        )
+        struct(
+          lit("text").as("kind"),
+          markup.as("text"),
+          lit(null).cast("string").as("media_ref"),
+          (i * 2).cast("int").as("offset"))
+      }
+    )
+
+    val mediaSpans = transform(
+      sequence(lit(0L), km - 1),
+      j => {
+        val ref = when(
+          d % 41 === 0 && j === 0,
+          concat(lit("missing-"), d.cast("string"))
+        ).otherwise(
+          concat(lit("m-"), d.cast("string"), lit("-"), j.cast("string")))
+        struct(
+          lit("image").as("kind"),
+          lit(null).cast("string").as("text"),
+          ref.as("media_ref"),
+          (j * 2 + 1).cast("int").as("offset"))
+      }
+    )
+
+    // two selects: the spans expressions must resolve doc_id against the INPUT (int64),
+    // not the output alias (lateral column alias resolution would otherwise bind the
+    // lambda's doc_id reference to the renamed string column).
+    documents
+      .select(col("doc_id"), col("lang"), concat(textSpans, mediaSpans).as("spans"))
+      .select(docIdStr(d).as("doc_id"), col("lang"), col("spans"))
+  }
+
+  /** 'doc-000042' — lexicographic order == numeric order, so range partitioning and
+    * resume pruning on the string key behave like on the numeric key. */
+  def docIdStr(d: Column): Column = concat(lit("doc-"), lpad(d.cast("string"), 6, "0"))
+
+  /** Exploded (flat) form: doc_id, lang, kind, text, media_ref, offset. */
+  def spansFlat(spark: SparkSession, sfDir: String, replicate: Int = 1): DataFrame =
+    docs(spark, sfDir, replicate)
+      .select(col("doc_id"), col("lang"), explode(col("spans")).as("s"))
+      .select(col("doc_id"), col("lang"), col("s.kind"), col("s.text"),
+        col("s.media_ref"), col("s.offset"))
+}
