@@ -133,7 +133,7 @@ object ExtractPipeline {
         count(lit(1)).as("n_spans")
       ).select(
         col("doc_id"), col("spans"), col("ok"),
-        element_at(col("errs"), 1).getField("error").as("error"), col("n_spans"))
+        get(col("errs"), lit(0)).getField("error").as("error"), col("n_spans"))
     } else {
       flat
         .withColumn("salt", pmod(col("offset"), lit(SaltBuckets)))
@@ -151,7 +151,7 @@ object ExtractPipeline {
           sum(col("n_p")).as("n_spans"))
         .select(
           col("doc_id"), col("spans"), col("ok"),
-          element_at(col("errs"), 1).getField("error").as("error"), col("n_spans"))
+          get(col("errs"), lit(0)).getField("error").as("error"), col("n_spans"))
     }
   }
 }
