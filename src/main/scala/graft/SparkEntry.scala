@@ -1,7 +1,7 @@
 package graft
 
-import graft.functions.OracleSql
-import graft.operators.ExtractPipeline
+import graft.functions.{OracleSql, OracleSqlDedup}
+import graft.operators.{Dedup, ExtractPipeline, TextAnalysis}
 import graft.sources.Interleave
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -54,15 +54,36 @@ object SparkEntry {
     ).orderBy(col("lang"))
   }
 
+  private def documents(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- extraction (flagship family) ------------------------------------------
     "interleave_spans" -> ((s, dir) =>
       Interleave.spansFlat(s, dir)
         .select(col("doc_id"), col("kind"), col("media_ref"), col("offset"), col("text"))
         .orderBy(col("doc_id"), col("offset"))),
     "ocr_extract" -> (ocrExtract(_, _)),
     "extract_docs" -> (extractDocs(_, _)),
-    "extract_metrics" -> (extractMetrics(_, _))
+    "extract_metrics" -> (extractMetrics(_, _)),
+    // ---- training-data dedup family --------------------------------------------
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Dedup.withExactCopies(documents(s, dir)))),
+    "minhash_bands" -> ((s, dir) =>
+      Dedup.minhashBands(Dedup.withMutants(documents(s, dir)))
+        .orderBy(col("doc_id"), col("band"))),
+    "neardup_pairs" -> ((s, dir) =>
+      Dedup.neardupPairs(Dedup.withMutants(documents(s, dir)))),
+    "simhash" -> ((s, dir) =>
+      Dedup.simhash(Dedup.withMutants(documents(s, dir)))),
+    "simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(Dedup.withMutants(documents(s, dir)))),
+    // ---- text analysis -----------------------------------------------------------
+    "text_quality" -> ((s, dir) => TextAnalysis.quality(documents(s, dir))),
+    "lang_id" -> ((s, dir) => TextAnalysis.langId(documents(s, dir))),
+    "token_stats" -> ((s, dir) => TextAnalysis.tokenStats(documents(s, dir))),
+    "fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(documents(s, dir)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -71,6 +92,15 @@ object SparkEntry {
     "interleave_spans" -> OracleSql.interleaveSpans,
     "ocr_extract" -> OracleSql.ocrExtract,
     "extract_docs" -> OracleSql.extractDocs,
-    "extract_metrics" -> OracleSql.extractMetrics
+    "extract_metrics" -> OracleSql.extractMetrics,
+    "dedup_exact" -> OracleSqlDedup.dedupExact,
+    "minhash_bands" -> OracleSqlDedup.minhashBands,
+    "neardup_pairs" -> OracleSqlDedup.neardupPairs,
+    "simhash" -> OracleSqlDedup.simhash,
+    "simhash_pairs" -> OracleSqlDedup.simhashPairs,
+    "text_quality" -> OracleSqlDedup.textQuality,
+    "lang_id" -> OracleSqlDedup.langId,
+    "token_stats" -> OracleSqlDedup.tokenStats,
+    "fingerprint" -> OracleSqlDedup.fingerprint
   )
 }

@@ -1,0 +1,197 @@
+package graft.functions
+
+/**
+ * DuckDB oracle mirrors for the dedup / text-analysis operator family
+ * ([[graft.operators.Dedup]], [[graft.operators.TextAnalysis]],
+ * [[graft.functions.SimHash32]]). Same parity rules as [[OracleSql]].
+ */
+object OracleSqlDedup {
+
+  /** documents + exact copies of every 13th doc — mirror of Dedup.withExactCopies. */
+  private val exactCorpusCte =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 13 = 0
+      |)""".stripMargin
+
+  /** documents + 'mutant '-prefixed copies of every 10th doc — mirror of
+    * Dedup.withMutants. */
+  private val mutantCorpusCte =
+    """mcorpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, 'mutant ' || text AS text
+      |  FROM documents WHERE doc_id % 10 = 0
+      |)""".stripMargin
+
+  val dedupExact: String =
+    s"""$exactCorpusCte
+       |SELECT doc_id, md5(text) AS content_hash,
+       |       CAST(row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS BIGINT) AS dup_rank,
+       |       CASE WHEN row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1 THEN 1 ELSE 0 END AS is_dup
+       |FROM corpus ORDER BY doc_id""".stripMargin
+
+  val textQuality: String =
+    """WITH tk AS (
+      |  SELECT doc_id, length(text) AS lc, string_split(text, ' ') AS t FROM documents
+      |)
+      |SELECT doc_id,
+      |       CAST(lc AS BIGINT) AS n_chars_m,
+      |       CAST(len(t) AS BIGINT) AS n_tokens,
+      |       CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+      |       CAST(floor(1000000.0 * len(list_distinct(t)) / len(t)) AS BIGINT) AS richness_e6,
+      |       CAST(floor(1000000.0 * len(list_filter(t, x -> x IN ('the','a','of','and','key','data'))) / len(t)) AS BIGINT) AS stop_ratio_e6,
+      |       CAST(floor(1000000.0 * CAST(list_aggregate(list_transform(t, x -> CAST(length(x) AS BIGINT)), 'sum') AS BIGINT) / len(t)) AS BIGINT) AS avg_tok_len_e6
+      |FROM tk ORDER BY doc_id""".stripMargin
+
+  val langId: String =
+    """WITH tk AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+      |),
+      |sc AS (
+      |  SELECT doc_id, lang,
+      |         CAST(len(list_filter(t, x -> x IN ('the','a','of','key','row'))) AS BIGINT) AS s_en,
+      |         CAST(len(list_filter(t, x -> x IN ('der','die','und','table'))) AS BIGINT) AS s_de,
+      |         CAST(len(list_filter(t, x -> x IN ('el','la','de','query'))) AS BIGINT) AS s_es,
+      |         CAST(len(list_filter(t, x -> x IN ('le','les','et','merge'))) AS BIGINT) AS s_fr
+      |  FROM tk
+      |)
+      |SELECT doc_id, lang, s_en, s_de, s_es, s_fr,
+      |       CASE WHEN s_de > s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+      |            WHEN s_es > s_en AND s_es >= s_fr THEN 'es'
+      |            WHEN s_fr > s_en THEN 'fr'
+      |            ELSE 'en' END AS pred_lang,
+      |       CASE WHEN (CASE WHEN s_de > s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+      |                       WHEN s_es > s_en AND s_es >= s_fr THEN 'es'
+      |                       WHEN s_fr > s_en THEN 'fr'
+      |                       ELSE 'en' END) = lang THEN 1 ELSE 0 END AS correct
+      |FROM sc ORDER BY doc_id""".stripMargin
+
+  val tokenStats: String =
+    """WITH tk AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |)
+      |SELECT doc_id,
+      |       CAST(len(t) AS BIGINT) AS n_tokens,
+      |       CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+      |       CAST(list_aggregate(list_transform(t, x -> CAST(length(x) AS BIGINT)), 'max') AS BIGINT) AS max_tok_len,
+      |       CAST(list_aggregate(list_transform(t, x -> CAST(floor((length(x) + 3) / 4.0) AS BIGINT)), 'sum') AS BIGINT) AS n_subwords
+      |FROM tk ORDER BY doc_id""".stripMargin
+
+  val fingerprint: String =
+    """WITH tk AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |),
+      |shq AS (
+      |  SELECT doc_id,
+      |         list_transform(generate_series(0, greatest(0, len(t) - 5)), i -> md5(array_to_string(t[i+1:i+5], ' '))) AS sh
+      |  FROM tk
+      |)
+      |SELECT doc_id, list_aggregate(sh, 'min') AS fp, CAST(len(sh) AS BIGINT) AS n_shingles
+      |FROM shq ORDER BY doc_id""".stripMargin
+
+  /** Shared minhash CTE chain over the mutant corpus (3-gram shingles, 8 perms). */
+  private val minhashCtes: String = {
+    val sigs = (0 until 8).map(p =>
+      s"list_aggregate(list_transform(sh, s -> md5('$p|' || s)), 'min') AS mh$p").mkString(",\n         ")
+    s"""WITH $mutantCorpusCte,
+       |tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM mcorpus),
+       |shq AS (
+       |  SELECT doc_id,
+       |         list_transform(generate_series(0, greatest(0, len(t) - 3)), i -> array_to_string(t[i+1:i+3], ' ')) AS sh
+       |  FROM tk
+       |),
+       |sig AS (
+       |  SELECT doc_id,
+       |         $sigs
+       |  FROM shq
+       |),
+       |bands AS (
+       |  SELECT doc_id, b.band,
+       |         CASE b.band WHEN 0 THEN md5(mh0 || mh1) WHEN 1 THEN md5(mh2 || mh3)
+       |                     WHEN 2 THEN md5(mh4 || mh5) ELSE md5(mh6 || mh7) END AS band_hash
+       |  FROM sig, UNNEST([0, 1, 2, 3]) AS b(band)
+       |)""".stripMargin
+  }
+
+  val minhashBands: String =
+    s"""$minhashCtes
+       |SELECT doc_id, band, band_hash FROM bands ORDER BY doc_id, band""".stripMargin
+
+  val neardupPairs: String =
+    s"""$minhashCtes,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+       |),
+       |shd AS (SELECT doc_id, unnest(list_distinct(sh)) AS s FROM shq),
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shd GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS ni
+       |  FROM cand c
+       |  JOIN shd sa ON sa.doc_id = c.doc_a
+       |  JOIN shd sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+       |  GROUP BY c.doc_a, c.doc_b
+       |)
+       |SELECT i.doc_a, i.doc_b,
+       |       CAST(floor(1000000.0 * i.ni / (na.n + nb.n - i.ni)) AS BIGINT) AS jaccard_e6
+       |FROM inter i
+       |JOIN sizes na ON na.doc_id = i.doc_a
+       |JOIN sizes nb ON nb.doc_id = i.doc_b
+       |WHERE CAST(floor(1000000.0 * i.ni / (na.n + nb.n - i.ni)) AS BIGINT) >= 500000
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** 32 per-bit weight sums + recombination — mirror of SimHashImpl.simhash32. */
+  private val simhashCtes: String = {
+    val digits = (0 until 8).map(j =>
+      s"instr('0123456789abcdef', substr(h, ${j + 1}, 1)) - 1 AS d$j").mkString(",\n         ")
+    val sums = (0 until 32).map { k =>
+      val j = k / 4
+      val e = 3 - k % 4
+      s"SUM(CAST(floor(d$j / power(2, $e)) AS BIGINT) % 2 * 2 - 1) AS s$k"
+    }.mkString(",\n         ")
+    val recomb = (0 until 32)
+      .map(k => s"CASE WHEN s$k >= 0 THEN CAST(${1L << k} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $mutantCorpusCte,
+       |tokh AS (
+       |  SELECT doc_id, md5(t.t) AS h FROM mcorpus, UNNEST(string_split(text, ' ')) AS t(t)
+       |),
+       |dig AS (
+       |  SELECT doc_id,
+       |         $digits
+       |  FROM tokh
+       |),
+       |bitsums AS (
+       |  SELECT doc_id,
+       |         $sums
+       |  FROM dig GROUP BY doc_id
+       |),
+       |sp AS (
+       |  SELECT doc_id, CAST($recomb AS BIGINT) AS simhash FROM bitsums
+       |)""".stripMargin
+  }
+
+  val simhash: String =
+    s"""$simhashCtes
+       |SELECT doc_id, simhash FROM sp ORDER BY doc_id""".stripMargin
+
+  val simhashPairs: String =
+    s"""$simhashCtes,
+       |bk AS (
+       |  SELECT doc_id, simhash, b.b AS byte_idx,
+       |         CAST(floor(simhash / power(2, 8 * b.b)) AS BIGINT) % 256 AS byte_val
+       |  FROM sp, UNNEST([0, 1, 2, 3]) AS b(b)
+       |),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sa, b.doc_id AS doc_b, b.simhash AS sb
+       |  FROM bk a JOIN bk b
+       |    ON a.byte_idx = b.byte_idx AND a.byte_val = b.byte_val AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+       |FROM pairs
+       |WHERE CAST(bit_count(xor(sa, sb)) AS BIGINT) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+}

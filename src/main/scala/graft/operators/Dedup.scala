@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for a training-data pipeline: exact (content-hash), MinHash+LSH
+ * near-dup candidate generation with exact-Jaccard verification, and 32-bit SimHash with
+ * banded Hamming pairing.
+ *
+ * Scale design:
+ *  - exact dedup is one hash-partitioned window (single shuffle on the 128-bit digest —
+ *    uniformly distributed, no skew by construction);
+ *  - MinHash signatures are computed per-row with higher-order functions (no shuffle,
+ *    no UDF); only the tiny (doc_id, band, band_hash) stream shuffles for the LSH
+ *    bucket self-join, and only candidate PAIRS (a vanishing fraction at web scale)
+ *    reach the exact-Jaccard verify join;
+ *  - SimHash pairs bucket on each of the four signature bytes, so the self-join is 4
+ *    narrow equi-joins instead of a cross product.
+ *
+ * The synthetic corpus has no natural duplicates, so each operator's input is widened
+ * with DETERMINISTIC injected copies (exact copies for exact dedup, 'mutant '-prefixed
+ * copies for near-dup) — mirrored verbatim in the DuckDB oracle.
+ */
+object Dedup {
+
+  /** Number of MinHash permutations and LSH band width (r=2 -> 4 bands). */
+  val NumPerms = 8
+  val BandWidth = 2
+  val ShingleN = 3
+
+  /** documents + exact copies of every 13th doc (id + 200000). */
+  def withExactCopies(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col("text")).unionByName(
+      documents.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+
+  /** documents + near-duplicate mutants of every 10th doc (id + 100000,
+    * 'mutant ' prefixed text). */
+  def withMutants(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col("text")).unionByName(
+      documents.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("mutant "), col("text")).as("text")))
+
+  /** Exact dedup: md5 content hash, rank within hash group (rank 1 = canonical). */
+  def exact(docsWithCopies: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
+    docsWithCopies
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .withColumn("dup_rank", row_number().over(w).cast("long"))
+      .withColumn("is_dup", when(col("dup_rank") > 1, 1).otherwise(0))
+      .orderBy(col("doc_id"))
+  }
+
+  /** MinHash signature bands: (doc_id, band, band_hash), 4 rows per doc.
+    * Signature p = min over 3-gram shingles s of md5(p || '|' || s); band b hashes the
+    * concatenation of its BandWidth signatures. Entirely per-row Catalyst expressions. */
+  def minhashBands(docs: DataFrame): DataFrame = {
+    val sh = TextAnalysis.shingles(col("text"), ShingleN)
+    val mhs = (0 until NumPerms).map { p =>
+      array_min(transform(sh, s => md5(concat(lit(p.toString), lit("|"), s)))).as(s"mh$p")
+    }
+    val withSig = docs.select(col("doc_id") +: mhs: _*)
+    val bands = (0 until NumPerms / BandWidth).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("band_hash"))
+    }
+    withSig
+      .select(col("doc_id"), explode(array(bands: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band"), col("bs.band_hash"))
+  }
+
+  /** LSH candidate pairs -> exact-Jaccard verification over distinct 3-gram shingle
+    * sets; keeps pairs with jaccard >= 0.5. Output (doc_a, doc_b, jaccard_e6). */
+  def neardupPairs(docs: DataFrame): DataFrame = {
+    val bands = minhashBands(docs)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    val sh = docs.select(col("doc_id"),
+      explode(array_distinct(TextAnalysis.shingles(col("text"), ShingleN))).as("s"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+
+    val inter = cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("ni"))
+
+    inter
+      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        floor(lit(1000000.0) * col("ni") / (col("na.n") + col("nb.n") - col("ni")))
+          .cast("long").as("jaccard_e6"))
+      .filter(col("jaccard_e6") >= 500000)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 32-bit SimHash per document via the codegen'd [[graft.functions.SimHash32]]
+    * Catalyst expression (no UDF, no shuffle). */
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.SimHash32.simhash32(col("text")).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  /** SimHash near-dup pairs: bucket on each signature byte (4 narrow self-joins via one
+    * explode), verify Hamming distance <= maxHamming. Output (doc_a, doc_b, hamming). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(docs)
+    val bytes = (0 until 4).map(i =>
+      struct(lit(i).as("byte_idx"),
+        pmod(floor(col("simhash") / pow(lit(2.0), lit(8.0 * i))).cast("long"), lit(256L))
+          .as("byte_val")))
+    val bucketed = sh.select(col("doc_id"), col("simhash"),
+      explode(array(bytes: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.byte_idx"), col("bk.byte_val"))
+    bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.byte_idx") === col("b.byte_idx") && col("a.byte_val") === col("b.byte_val")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+}

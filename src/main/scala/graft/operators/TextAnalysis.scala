@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for a training-data pipeline, over the `documents` table
+ * (doc_id, text, lang, source, n_chars). All pure Catalyst expressions — no UDFs, no
+ * shuffles except the stated aggregations — so every operator whole-stage-codegens and
+ * scales linearly with input splits.
+ *
+ * Ratio columns are surfaced as floor(1e6 * num / den) BIGINT to keep the DuckDB oracle
+ * comparison exact (identical IEEE double ops on both sides, no rounding-mode trap).
+ */
+object TextAnalysis {
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** Stopword set used by quality scoring (must stay in sync with OracleSql). */
+  val Stopwords = Seq("the", "a", "of", "and", "key", "data")
+
+  /** Per-document quality metrics: token counts, vocabulary richness, stopword ratio,
+    * average token length. */
+  def quality(documents: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    val nTok = size(t).cast("long")
+    val nDist = size(array_distinct(t)).cast("long")
+    val nStop = size(filter(t, x => x.isin(Stopwords: _*))).cast("long")
+    val tokChars = aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("long")
+    documents.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_m"),
+      nTok.as("n_tokens"),
+      nDist.as("n_distinct"),
+      floor(lit(1000000.0) * nDist / nTok).cast("long").as("richness_e6"),
+      floor(lit(1000000.0) * nStop / nTok).cast("long").as("stop_ratio_e6"),
+      floor(lit(1000000.0) * tokChars / nTok).cast("long").as("avg_tok_len_e6")
+    ).orderBy(col("doc_id"))
+  }
+
+  /** Marker-word language-ID heuristic. Ties break in fixed order en>de>es>fr (nested
+    * CASE, deterministic). Synthetic corpus vocabulary is English-ish for every lang, so
+    * accuracy is low by construction — the operator contract is what's verified. */
+  def langId(documents: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    def score(markers: Seq[String]): Column =
+      size(filter(t, x => x.isin(markers: _*))).cast("long")
+    val sEn = score(Seq("the", "a", "of", "key", "row"))
+    val sDe = score(Seq("der", "die", "und", "table"))
+    val sEs = score(Seq("el", "la", "de", "query"))
+    val sFr = score(Seq("le", "les", "et", "merge"))
+    val pred = when(sDe > sEn && sDe >= sEs && sDe >= sFr, "de")
+      .when(sEs > sEn && sEs >= sFr, "es")
+      .when(sFr > sEn, "fr")
+      .otherwise("en")
+    documents.select(
+      col("doc_id"), col("lang"),
+      sEn.as("s_en"), sDe.as("s_de"), sEs.as("s_es"), sFr.as("s_fr"),
+      pred.as("pred_lang"),
+      when(pred === col("lang"), 1).otherwise(0).as("correct")
+    ).orderBy(col("doc_id"))
+  }
+
+  /** Token statistics incl. a BPE-ish subword estimate (ceil(len/4) per token). */
+  def tokenStats(documents: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    documents.select(
+      col("doc_id"),
+      size(t).cast("long").as("n_tokens"),
+      size(array_distinct(t)).cast("long").as("n_distinct"),
+      array_max(transform(t, x => length(x))).cast("long").as("max_tok_len"),
+      aggregate(t, lit(0L), (acc, x) => acc + floor((length(x) + 3) / lit(4.0)).cast("long"))
+        .as("n_subwords")
+    ).orderBy(col("doc_id"))
+  }
+
+  /** Word n-gram shingles of the text, as raw joined strings. */
+  def shingles(text: Column, n: Int): Column = {
+    val t = toks(text)
+    transform(
+      sequence(lit(0), greatest(lit(0), size(t) - n)),
+      i => concat_ws(" ", slice(t, i + 1, lit(n))))
+  }
+
+  /** Rolling-hash document fingerprint: lexicographic-min md5 over 5-gram shingles
+    * (winnowing-lite; one deterministic representative per document). */
+  def fingerprint(documents: DataFrame): DataFrame = {
+    val sh = shingles(col("text"), 5)
+    documents.select(
+      col("doc_id"),
+      array_min(transform(sh, s => md5(s))).as("fp"),
+      size(sh).cast("long").as("n_shingles")
+    ).orderBy(col("doc_id"))
+  }
+}
