@@ -57,6 +57,34 @@ object SparkEntry {
   private def documents(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  private def spanMetrics(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SpanMetricsAgg
+    import graft.sources.SnapshotSink
+    ExtractPipeline.extractFlat(Interleave.docs(s, dir))
+      .withColumn("bucket", SnapshotSink.bucketOf(col("doc_id"), 8))
+      .groupBy(col("bucket"))
+      .agg(SpanMetricsAgg.spanMetrics(
+        col("kind"), col("ok"), col("error"), col("text"),
+        col("n_words"), col("conf_sum")).as("m"))
+      .select(col("bucket"), col("m.n_spans"), col("m.n_media"), col("m.n_text"),
+        col("m.n_err"), col("m.ocr_chars"), col("m.n_words"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Full snapshot protocol end-to-end: extract -> wave commits -> manifest; the
+    * returned lineage's integer columns are DuckDB-verified. */
+  private def snapshotLineage(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotSink
+    val out = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-snapshot-query-" + dir.replaceAll("[^a-z0-9.]", "-"))
+    SnapshotSink.deleteRecursively(out)
+    SnapshotSink.run(Interleave.docs(s, dir), out.toString, nBuckets = 8, waveSize = 4)
+    SnapshotSink.lineage(s, out.toString)
+      .select(col("bucket"), col("rows").as("rows_"), col("n_spans"), col("n_media"),
+        col("n_text"), col("n_err"), col("ocr_chars"), col("n_words"))
+      .orderBy(col("bucket"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- extraction (flagship family) ------------------------------------------
@@ -67,6 +95,8 @@ object SparkEntry {
     "ocr_extract" -> (ocrExtract(_, _)),
     "extract_docs" -> (extractDocs(_, _)),
     "extract_metrics" -> (extractMetrics(_, _)),
+    "span_metrics" -> (spanMetrics(_, _)),
+    "snapshot_lineage" -> (snapshotLineage(_, _)),
     // ---- training-data dedup family --------------------------------------------
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(Dedup.withExactCopies(documents(s, dir)))),
@@ -93,6 +123,8 @@ object SparkEntry {
     "ocr_extract" -> OracleSql.ocrExtract,
     "extract_docs" -> OracleSql.extractDocs,
     "extract_metrics" -> OracleSql.extractMetrics,
+    "span_metrics" -> OracleSql.spanMetrics,
+    "snapshot_lineage" -> OracleSql.snapshotLineage,
     "dedup_exact" -> OracleSqlDedup.dedupExact,
     "minhash_bands" -> OracleSqlDedup.minhashBands,
     "neardup_pairs" -> OracleSqlDedup.neardupPairs,

@@ -100,6 +100,40 @@ object OracleSql {
        |       coalesce(string_agg(error, ';' ORDER BY "offset"), '') AS errors
        |FROM extracted GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Per-span OCR word count, recomputed the way the engine derives it (n words =
+    * 8 + 2 * firstHexDigit of the payload hash) — non-OCR spans contribute 0. */
+  private val nWordsExpr: String =
+    """CASE WHEN kind = 'image' AND ok = 1
+      |     THEN 8 + 2 * (instr('0123456789abcdef', substr(md5('payload:' || media_ref), 1, 1)) - 1)
+      |     ELSE 0 END""".stripMargin
+
+  /** Mirror of [[graft.operators.SpanMetricsAgg]] over snapshot buckets
+    * (bucket = numeric doc id % 8, [[graft.sources.SnapshotSink.bucketOf]]). */
+  val spanMetrics: String =
+    s"""$extractionCtes
+       |SELECT CAST(CAST(substr(doc_id, 5) AS BIGINT) % 8 AS INT) AS bucket,
+       |       CAST(count(*) AS BIGINT) AS n_spans,
+       |       CAST(sum(CASE WHEN kind = 'image' THEN 1 ELSE 0 END) AS BIGINT) AS n_media,
+       |       CAST(sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) AS BIGINT) AS n_text,
+       |       CAST(sum(CASE WHEN error IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_err,
+       |       CAST(sum(CASE WHEN kind = 'image' AND ok = 1 THEN length(text) ELSE 0 END) AS BIGINT) AS ocr_chars,
+       |       CAST(sum($nWordsExpr) AS BIGINT) AS n_words
+       |FROM extracted GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  /** The snapshot manifest's integer lineage columns are the same statistics, so the
+    * whole write->commit->manifest->read path is DuckDB-verified end to end. */
+  val snapshotLineage: String =
+    s"""$extractionCtes
+       |SELECT CAST(CAST(substr(doc_id, 5) AS BIGINT) % 8 AS INT) AS bucket,
+       |       CAST(count(*) AS BIGINT) AS rows_,
+       |       CAST(count(*) AS BIGINT) AS n_spans,
+       |       CAST(sum(CASE WHEN kind = 'image' THEN 1 ELSE 0 END) AS BIGINT) AS n_media,
+       |       CAST(sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) AS BIGINT) AS n_text,
+       |       CAST(sum(CASE WHEN error IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_err,
+       |       CAST(sum(CASE WHEN kind = 'image' AND ok = 1 THEN length(text) ELSE 0 END) AS BIGINT) AS ocr_chars,
+       |       CAST(sum($nWordsExpr) AS BIGINT) AS n_words
+       |FROM extracted GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val extractMetrics: String =
     s"""$extractionCtes
        |SELECT lang,

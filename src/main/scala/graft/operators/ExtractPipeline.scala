@@ -66,7 +66,7 @@ object ExtractPipeline {
 
     val mediaOut = ocrResults.toDF()
       .select(col("doc_id"), col("lang"), col("offset"), col("kind"), col("text"),
-        col("media_ref"), col("ok"), col("error"))
+        col("media_ref"), col("ok"), col("error"), col("n_words"), col("conf_sum"))
 
     // ---- text branch: pure Catalyst ----------------------------------------------
     val textOut = exploded
@@ -76,7 +76,9 @@ object ExtractPipeline {
         TextClassifier.classify(col("text")).as("text"),
         col("media_ref"),
         lit(true).as("ok"),
-        lit(null).cast("string").as("error"))
+        lit(null).cast("string").as("error"),
+        lit(0).as("n_words"),
+        lit(0.0).as("conf_sum"))
 
     mediaOut.unionByName(textOut)
   }

@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import graft.operators.ExtractPipeline
+import graft.sources.{Interleave, SnapshotSink}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Crash-injection tests for the snapshot-commit protocol (SURVEY.md §5.2 / §7 step 5):
+ * a killed job resumes touching only uncommitted buckets, committed bytes stay
+ * bit-identical, and corruption is detected by the content hash and re-extracted —
+ * the distributed re-expression of the reference's download-resume assertions
+ * (reference tests/test_languages.py:9-53 over uiucprescon/ocr/languages.py:130-179).
+ */
+class SnapshotResumeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+  private val NB = 8
+
+  private def tmpDir(tag: String): String = {
+    val p = Paths.get(sys.props("java.io.tmpdir"), s"graft-snap-$tag")
+    SnapshotSink.deleteRecursively(p)
+    p.toString
+  }
+
+  private def docs: DataFrame = Interleave.docs(spark, sfDir)
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.select(col("doc_id"), col("offset"), col("kind"), col("text"),
+        col("media_ref"), col("ok").cast("int"), coalesce(col("error"), lit("")))
+      .collect()
+      .map(_.mkString(""))
+      .sorted.toSeq
+
+  private def bucketBytes(outDir: String, bucket: Int): Map[String, Seq[Byte]] = {
+    val dir = Paths.get(outDir, "data", s"bucket=$bucket")
+    import scala.jdk.CollectionConverters._
+    Files.list(dir).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && !p.getFileName.toString.startsWith(".")
+        && !p.getFileName.toString.startsWith("_"))
+      .map(p => p.getFileName.toString -> Files.readAllBytes(p).toSeq)
+      .toMap
+  }
+
+  test("full snapshot run == direct extraction; manifest accounts for every span") {
+    val out = tmpDir("full")
+    val report = SnapshotSink.run(docs, out, nBuckets = NB, waveSize = 3)
+    assert(report.processed.sorted === (0 until NB))
+    assert(report.skipped.isEmpty)
+
+    val direct = canon(ExtractPipeline.extractFlat(docs))
+    val snap = canon(SnapshotSink.readBack(spark, out))
+    assert(snap === direct)
+
+    val manifest = SnapshotSink.readManifest(spark, out)
+    assert(manifest.map(_.bucket).sorted === (0 until NB))
+    assert(manifest.map(_.n_spans).sum === direct.size)
+    assert(manifest.map(_.n_err).sum > 0)   // corpus has missing-refs and zh docs
+    assert(manifest.map(_.n_words).sum > 0) // OCR word metrics flow into lineage
+    assert(manifest.forall(_.engine_version.nonEmpty))
+  }
+
+  test("crash mid-run -> resume processes ONLY uncommitted buckets, committed bytes untouched") {
+    val out = tmpDir("crash")
+    intercept[SnapshotSink.InjectedCrash] {
+      SnapshotSink.run(docs, out, nBuckets = NB, waveSize = 3, crashAfterWaves = 1)
+    }
+    val committed = SnapshotSink.readManifest(spark, out).map(_.bucket).sorted
+    assert(committed.size === 3) // exactly one wave landed
+    val before = committed.map(b => b -> bucketBytes(out, b)).toMap
+
+    val resumed = SnapshotSink.run(docs, out, nBuckets = NB, waveSize = 3)
+    assert(resumed.skipped === committed)
+    assert(resumed.processed.sorted === (0 until NB).filterNot(committed.contains))
+    // committed files were not rewritten: byte-identical after resume
+    committed.foreach(b => assert(bucketBytes(out, b) === before(b), s"bucket $b"))
+
+    val direct = canon(ExtractPipeline.extractFlat(docs))
+    assert(canon(SnapshotSink.readBack(spark, out)) === direct)
+    assert(SnapshotSink.readManifest(spark, out).map(_.bucket).sorted === (0 until NB))
+  }
+
+  test("corrupted committed bucket fails the hash check and is re-extracted") {
+    val out = tmpDir("corrupt")
+    SnapshotSink.run(docs, out, nBuckets = NB, waveSize = NB)
+    val victim = 5
+    val dir = Paths.get(out, "data", s"bucket=$victim")
+    import scala.jdk.CollectionConverters._
+    val f: Path = Files.list(dir).iterator().asScala
+      .find(p => p.getFileName.toString.endsWith(".parquet")).get
+    val bytes = Files.readAllBytes(f)
+    bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x7f).toByte
+    Files.write(f, bytes)
+
+    val rerun = SnapshotSink.run(docs, out, nBuckets = NB, waveSize = NB)
+    assert(rerun.invalidated === Seq(victim))
+    assert(rerun.processed === Seq(victim))
+    assert(rerun.skipped.sorted === (0 until NB).filterNot(_ == victim))
+    assert(canon(SnapshotSink.readBack(spark, out))
+      === canon(ExtractPipeline.extractFlat(docs)))
+  }
+
+  test("re-running a complete snapshot is a no-op (idempotency, languages.py:135-145)") {
+    val out = tmpDir("idem")
+    SnapshotSink.run(docs, out, nBuckets = NB, waveSize = NB)
+    val before = (0 until NB).map(b => b -> bucketBytes(out, b)).toMap
+    val again = SnapshotSink.run(docs, out, nBuckets = NB, waveSize = NB)
+    assert(again.processed.isEmpty)
+    assert(again.skipped.sorted === (0 until NB))
+    (0 until NB).foreach(b => assert(bucketBytes(out, b) === before(b)))
+  }
+}
