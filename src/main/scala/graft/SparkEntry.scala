@@ -1,7 +1,7 @@
 package graft
 
-import graft.functions.{OracleSql, OracleSqlDedup}
-import graft.operators.{Dedup, ExtractPipeline, TextAnalysis}
+import graft.functions.{OracleSql, OracleSqlDedup, OracleSqlSim}
+import graft.operators.{Dedup, ExtractPipeline, Similarity, TextAnalysis}
 import graft.sources.Interleave
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -57,6 +57,9 @@ object SparkEntry {
   private def documents(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
   private def spanMetrics(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.SpanMetricsAgg
     import graft.sources.SnapshotSink
@@ -109,6 +112,13 @@ object SparkEntry {
       Dedup.simhash(Dedup.withMutants(documents(s, dir)))),
     "simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(Dedup.withMutants(documents(s, dir)))),
+    // ---- similarity search / embedding near-dup ----------------------------------
+    "ann_topk" -> ((s, dir) => Similarity.annTopK(embeddings(s, dir))),
+    "ann_lsh_pairs" -> ((s, dir) =>
+      Similarity.annLshPairs(Similarity.withEmbMutants(embeddings(s, dir)))),
+    "embed_neardup" -> ((s, dir) =>
+      Similarity.embedNeardup(Similarity.withEmbMutants(embeddings(s, dir)))),
+    "ivf_topk" -> ((s, dir) => Similarity.ivfTopK(embeddings(s, dir))),
     // ---- text analysis -----------------------------------------------------------
     "text_quality" -> ((s, dir) => TextAnalysis.quality(documents(s, dir))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(documents(s, dir))),
@@ -130,6 +140,10 @@ object SparkEntry {
     "neardup_pairs" -> OracleSqlDedup.neardupPairs,
     "simhash" -> OracleSqlDedup.simhash,
     "simhash_pairs" -> OracleSqlDedup.simhashPairs,
+    "ann_topk" -> OracleSqlSim.annTopK,
+    "ann_lsh_pairs" -> OracleSqlSim.annLshPairs,
+    "embed_neardup" -> OracleSqlSim.embedNeardup,
+    "ivf_topk" -> OracleSqlSim.ivfTopK,
     "text_quality" -> OracleSqlDedup.textQuality,
     "lang_id" -> OracleSqlDedup.langId,
     "token_stats" -> OracleSqlDedup.tokenStats,

@@ -1,0 +1,122 @@
+package graft.functions
+
+/**
+ * DuckDB oracles for the similarity-search family ([[graft.operators.Similarity]]).
+ *
+ * Exactness contract (see Similarity's scaladoc): vectors are integer-quantized
+ * (floor(x·1000) per element) so dots and squared norms are exact integers; the single
+ * sqrt/multiply/divide chain is associated IDENTICALLY to the Spark expressions, so the
+ * final floor(1e6·cos) is bit-identical and hash-comparable. `list_zip` + positional
+ * struct indexing gives DuckDB the exact integer dot product (HUGEINT, cast down).
+ */
+object OracleSqlSim {
+
+  /** Quantized-vector CTEs over raw float embeddings. */
+  private val rawCtes: String =
+    """WITH v AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      |  FROM embeddings
+      |),
+      |vn AS (
+      |  SELECT vec_id, q,
+      |         CAST(list_sum(list_transform(list_zip(q, q), z -> z[1] * z[2])) AS BIGINT) AS n2
+      |  FROM v
+      |)""".stripMargin
+
+  /** Quantized-vector CTEs over the mutant-widened set (Similarity.withEmbMutants). */
+  private val mutantCtes: String =
+    """WITH ve AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |  FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.01 + 0.001)
+      |  FROM embeddings WHERE vec_id % 10 = 0
+      |),
+      |v AS (
+      |  SELECT vec_id, list_transform(emb, x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+      |  FROM ve
+      |),
+      |vn AS (
+      |  SELECT vec_id, q,
+      |         CAST(list_sum(list_transform(list_zip(q, q), z -> z[1] * z[2])) AS BIGINT) AS n2
+      |  FROM v
+      |)""".stripMargin
+
+  private def dot(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(list_zip($a, $b), z -> z[1] * z[2])) AS BIGINT)"
+
+  private def cosE6(dot: String, n2a: String, n2b: String): String =
+    s"CAST(floor((1000000.0 * $dot) / (sqrt(CAST($n2a AS DOUBLE)) * sqrt(CAST($n2b AS DOUBLE)))) AS BIGINT)"
+
+  val annTopK: String =
+    s"""$rawCtes,
+       |qs AS (SELECT vec_id AS query_id, q AS qq, n2 AS qn2 FROM vn WHERE vec_id % 100 = 0),
+       |scored AS (
+       |  SELECT qs.query_id, vn.vec_id AS neighbor_id,
+       |         ${cosE6(dot("qs.qq", "vn.q"), "qs.qn2", "vn.n2")} AS cos_e6
+       |  FROM qs, vn WHERE vn.vec_id <> qs.query_id
+       |),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_e6,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos_e6 DESC, neighbor_id) AS rn
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS "rank", cos_e6
+       |FROM ranked WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+
+  val annLshPairs: String =
+    s"""$mutantCtes,
+       |bands AS (
+       |  SELECT vec_id, q, n2, b.b AS band,
+       |         (CASE WHEN q[4 * b.b + 1] >= 0 THEN 1 ELSE 0 END
+       |        + CASE WHEN q[4 * b.b + 2] >= 0 THEN 2 ELSE 0 END
+       |        + CASE WHEN q[4 * b.b + 3] >= 0 THEN 4 ELSE 0 END
+       |        + CASE WHEN q[4 * b.b + 4] >= 0 THEN 8 ELSE 0 END) AS key
+       |  FROM vn, UNNEST(generate_series(0, 3)) AS b(b)
+       |),
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+       |         ${cosE6(dot("a.q", "b2.q"), "a.n2", "b2.n2")} AS cos_e6
+       |  FROM bands a JOIN bands b2
+       |    ON a.band = b2.band AND a.key = b2.key AND a.vec_id < b2.vec_id
+       |)
+       |SELECT vec_a, vec_b, cos_e6 FROM pairs
+       |WHERE cos_e6 >= 900000 ORDER BY vec_a, vec_b""".stripMargin
+
+  val embedNeardup: String =
+    s"""$mutantCtes
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |       ${cosE6(dot("a.q", "b.q"), "a.n2", "b.n2")} AS cos_e6
+       |FROM vn a JOIN vn b ON a.vec_id < b.vec_id
+       |WHERE ${cosE6(dot("a.q", "b.q"), "a.n2", "b.n2")} >= 900000
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  val ivfTopK: String =
+    s"""$rawCtes,
+       |cents AS (SELECT vec_id AS cent_id, q AS cq, n2 AS cn2 FROM vn WHERE vec_id % 200 = 0),
+       |asg0 AS (
+       |  SELECT vn.vec_id, vn.q, vn.n2, c.cent_id,
+       |         row_number() OVER (PARTITION BY vn.vec_id
+       |           ORDER BY vn.n2 + c.cn2 - 2 * ${dot("vn.q", "c.cq")}, c.cent_id) AS rn
+       |  FROM vn, cents c
+       |),
+       |asg AS (SELECT vec_id, q, n2, cent_id AS cell FROM asg0 WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, q AS qq, n2 AS qn2, cent_id AS cell
+       |  FROM asg0 WHERE vec_id % 100 = 0 AND rn <= 2
+       |),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |         ${cosE6(dot("p.qq", "a.q"), "p.qn2", "a.n2")} AS cos_e6
+       |  FROM probes p JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.query_id
+       |),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_e6,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos_e6 DESC, neighbor_id) AS rn
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS "rank", cos_e6
+       |FROM ranked WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+}

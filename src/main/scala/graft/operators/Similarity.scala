@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search / embedding near-dup over the `embeddings` table
+ * (vec_id:int64, embedding:array<float> dim=64, label:int32).
+ *
+ * Cross-engine exactness design: every score that reaches a verified output is computed
+ * from INTEGER-quantized vectors (`floor(x * 1000)` per element). Dot products and
+ * squared-L2 distances over those integers are exact (magnitudes << 2^53, so even a
+ * double-typed sum cannot round), and the only floating-point steps — one sqrt, one
+ * multiply, one divide, identically associated on both engines — are correctly-rounded
+ * IEEE ops on identical inputs, hence bit-identical between Spark and DuckDB. The final
+ * `floor(1e6 * cos)` therefore hash-matches; no epsilon comparisons anywhere.
+ *
+ * Scale design (written for 10^12 vectors, verified at sf scale):
+ *  - brute-force top-k ([[annTopK]]) broadcasts the query set, keeps the candidate
+ *    stream narrow, and aggregates with the bounded [[TopKAgg]] — map-side partials
+ *    reduce each partition to k rows per query BEFORE the shuffle (O(k·partitions)
+ *    shuffle volume, not O(N); a Window.partitionBy(query) plan would shuffle all N);
+ *  - sign-LSH ([[annLshPairs]]) is the sub-quadratic path: per-row banded sign
+ *    signatures (pure Catalyst, no shuffle), then 4 narrow equi-joins on (band, key)
+ *    produce only candidate pairs for exact verification — the same
+ *    bucket-join-then-verify shape as MinHash dedup;
+ *  - IVF ([[ivfTopK]]) is the other scale path: k-means-style cells (centroid set
+ *    broadcast both for assignment and probing), per-cell inverted lists, queries probe
+ *    `nprobe` nearest cells so each query scores only its cells' candidates.
+ *
+ * The synthetic embeddings are near-orthogonal random vectors (no natural near-dups), so
+ * pair-producing operators widen the input with DETERMINISTIC mutants
+ * ([[withEmbMutants]]: every 10th vector re-appears scaled + shifted), mirrored verbatim
+ * in the DuckDB oracle — same convention as [[Dedup.withMutants]].
+ */
+object Similarity {
+
+  val QuantScale = 1000
+  val DefaultK = 5
+  val NprobeCells = 2
+
+  /** Integer quantization: array<float> -> array<long>, exact on both engines. */
+  def qvec(c: Column): Column =
+    transform(c, x => floor(x.cast("double") * QuantScale).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors (left-fold, but exact so
+    * association is irrelevant). */
+  def doti(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** floor(1e6·cos) from an integer dot and the two integer squared norms.
+    * Associate exactly as the oracle SQL does: (1e6*dot) / (sqrt(n2a)*sqrt(n2b)). */
+  def cosE6(dot: Column, n2a: Column, n2b: Column): Column =
+    floor((lit(1000000.0) * dot) / (sqrt(n2a) * sqrt(n2b))).cast("long")
+
+  /** Quantized view: (vec_id, q:array<long>, n2:long). */
+  def quantized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), qvec(col("embedding")).as("q"))
+      .withColumn("n2", doti(col("q"), col("q")))
+
+  /** embeddings + deterministic near-dup mutants of every 10th vector
+    * (id + 100000, elementwise x*1.01 + 0.001). Cast to double on BOTH branches so the
+    * union type is array<double> (float->double is exact). */
+  def withEmbMutants(emb: DataFrame): DataFrame = {
+    val asDouble = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    asDouble.unionByName(
+      emb.filter(col("vec_id") % 10 === 0).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x.cast("double") * 1.01 + 0.001)
+          .as("embedding")))
+  }
+
+  /** Brute-force cosine top-k: queries (vec_id % queryMod == 0) against all vectors.
+    * Output (query_id, neighbor_id, rank, cos_e6). */
+  def annTopK(emb: DataFrame, k: Int = DefaultK, queryMod: Int = 100): DataFrame = {
+    val v = quantized(emb)
+    val queries = v.select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("n2").as("qn2"))
+      .filter(col("query_id") % queryMod === 0)
+    val topk = udaf(new TopKAgg(k))
+    v.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("cos_e6", cosE6(doti(col("qq"), col("q")), col("qn2"), col("n2")))
+      .groupBy(col("query_id"))
+      .agg(topk(col("cos_e6"), col("vec_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk.items")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"), col("col.cos_e6"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Banded sign-LSH signature: 16 sign bits of the first 16 quantized coordinates,
+    * 4 bands × 4 bits, as array<struct<band:int, key:int>>. Coordinate hyperplanes are
+    * a valid (axis-aligned) LSH family for cosine; near-identical vectors collide on
+    * every band except coordinates straddling zero. */
+  private def signBands(q: Column): Column = {
+    def bit(j: Int): Column = when(element_at(q, j + 1) >= 0, 1 << (j % 4)).otherwise(0)
+    val bands = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        (bit(4 * b) + bit(4 * b + 1) + bit(4 * b + 2) + bit(4 * b + 3)).as("key"))
+    }
+    array(bands: _*)
+  }
+
+  /** LSH candidate pairs verified at cos >= 0.9 over the mutant-widened set.
+    * Output (vec_a, vec_b, cos_e6). */
+  def annLshPairs(embWithMutants: DataFrame): DataFrame = {
+    val v = quantized(embWithMutants)
+      .withColumn("bands", signBands(col("q")))
+    val bucketed = v.select(col("vec_id"), col("q"), col("n2"),
+        explode(col("bands")).as("bk"))
+      .select(col("vec_id"), col("q"), col("n2"), col("bk.band"), col("bk.key"))
+    bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosE6(doti(col("a.q"), col("b.q")), col("a.n2"), col("b.n2")).as("cos_e6"))
+      .distinct()
+      .filter(col("cos_e6") >= 900000)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Exact all-pairs near-dup baseline (cos >= 0.9) over the mutant-widened set.
+    * O(n²) by construction — the correctness baseline the LSH path is judged against;
+    * at web scale only [[annLshPairs]] runs. */
+  def embedNeardup(embWithMutants: DataFrame): DataFrame = {
+    val v = quantized(embWithMutants)
+    v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosE6(doti(col("a.q"), col("b.q")), col("a.n2"), col("b.n2")).as("cos_e6"))
+      .filter(col("cos_e6") >= 900000)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /**
+   * IVF top-k: cells from a deterministic centroid subset (vec_id % centroidMod == 0),
+   * every vector assigned to its nearest cell by EXACT integer squared-L2
+   * (n2a + n2c - 2·dot, ties to the lower centroid id); queries probe the
+   * [[NprobeCells]] nearest cells and rank only those cells' members by cosine.
+   * Output (query_id, neighbor_id, rank, cos_e6) — recall vs [[annTopK]] is < 1 by
+   * design; what is verified is the exact deterministic IVF semantics.
+   */
+  def ivfTopK(emb: DataFrame, k: Int = DefaultK, queryMod: Int = 100,
+      centroidMod: Int = 200): DataFrame = {
+    val v = quantized(emb)
+    val cents = v.select(col("vec_id").as("cent_id"), col("q").as("cq"),
+        col("n2").as("cn2"))
+      .filter(col("cent_id") % centroidMod === 0)
+
+    def l2sq(n2: Column, cn2: Column, dot: Column): Column = n2 + cn2 - lit(2L) * dot
+
+    // nearest-cell assignment: broadcast centroids, min(struct) keeps the agg partial
+    val assigned = v.join(broadcast(cents))
+      .withColumn("d2", l2sq(col("n2"), col("cn2"),
+        doti(col("q"), col("cq"))))
+      .groupBy(col("vec_id"), col("q"), col("n2"))
+      .agg(min(struct(col("d2"), col("cent_id"))).as("mc"))
+      .select(col("vec_id"), col("q"), col("n2"), col("mc.cent_id").as("cell"))
+
+    // query probing: nprobe nearest cells per query, via sorted-slice (tiny arrays)
+    val probes = v.filter(col("vec_id") % queryMod === 0)
+      .join(broadcast(cents))
+      .withColumn("d2", l2sq(col("n2"), col("cn2"), doti(col("q"), col("cq"))))
+      .groupBy(col("vec_id"), col("q"), col("n2"))
+      .agg(slice(array_sort(collect_list(struct(col("d2"), col("cent_id")))),
+        1, NprobeCells).as("cells"))
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("qn2"),
+        explode(col("cells.cent_id")).as("cell"))
+
+    val topk = udaf(new TopKAgg(k))
+    assigned.as("v").join(broadcast(probes.as("p")),
+        col("v.cell") === col("p.cell") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos_e6", cosE6(doti(col("qq"), col("q")), col("qn2"), col("n2")))
+      .groupBy(col("query_id"))
+      .agg(topk(col("cos_e6"), col("vec_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk.items")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"), col("col.cos_e6"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Similarity-search family vs a plain-Scala single-threaded oracle: the distributed
+ * top-k (bounded [[graft.operators.TopKAgg]], map-side partials) must equal exact
+ * brute force; LSH candidates must be a verified subset of the exact pair set with
+ * full recall on the injected mutants; IVF must return its cells' exact answer.
+ */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** (vec_id, quantized vector) straight from parquet, no Spark ops. */
+  private lazy val raw: Seq[(Long, Array[Long])] =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000).toLong).toArray))
+      .toSeq
+
+  private def dot(a: Array[Long], b: Array[Long]): Long =
+    a.zip(b).map { case (x, y) => x * y }.sum
+
+  private def cosE6(a: Array[Long], b: Array[Long]): Long =
+    math.floor((1000000.0 * dot(a, b)) /
+      (math.sqrt(dot(a, a).toDouble) * math.sqrt(dot(b, b).toDouble))).toLong
+
+  test("ann_topk equals single-threaded brute force for every query") {
+    val expected = raw.filter(_._1 % 100 == 0).flatMap { case (qid, qv) =>
+      raw.filter(_._1 != qid)
+        .map { case (nid, nv) => (nid, cosE6(qv, nv)) }
+        .sortBy { case (nid, c) => (-c, nid) }
+        .take(5).zipWithIndex
+        .map { case ((nid, c), i) => (qid, nid, (i + 1).toLong, c) }
+    }.toSet
+    val got = Similarity.annTopK(spark.read.parquet(s"$sfDir/embeddings.parquet"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("topk is invariant to input partitioning (map-side partials are lossless)") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def run(p: Int) = Similarity.annTopK(emb.repartition(p)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(run(1) === run(13))
+  }
+
+  test("LSH pairs are a verified subset of exact pairs, with full recall on mutants") {
+    val widened = Similarity.withEmbMutants(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Similarity.embedNeardup(widened))
+    val lsh = pairSet(Similarity.annLshPairs(widened))
+    assert(lsh.subsetOf(exact)) // verification step guarantees precision 1.0
+    assert(lsh.nonEmpty)
+    // every injected mutant pair (id, id+100000) whose signs agree must be found
+    val mutantPairs = exact.filter { case (a, b) => b == a + 100000 }
+    assert(mutantPairs.nonEmpty)
+    val recall = lsh.intersect(mutantPairs).size.toDouble / mutantPairs.size
+    assert(recall >= 0.9, s"LSH mutant recall $recall")
+  }
+
+  test("ivf_topk: neighbors come from probed cells and ranks are consistent") {
+    val out = Similarity.ivfTopK(spark.read.parquet(s"$sfDir/embeddings.parquet"))
+      .collect()
+    assert(out.nonEmpty)
+    // per query: ranks are 1..n and cos_e6 is non-increasing in rank
+    out.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getLong(2))
+      assert(sorted.map(_.getLong(2)).toSeq === (1L to sorted.length))
+      val cs = sorted.map(_.getLong(3)).toSeq
+      assert(cs === cs.sorted.reverse, s"query $q not ranked by cos")
+    }
+  }
+}
