@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{OracleSql, OracleSqlDedup, OracleSqlSim}
+import graft.functions.{OracleSql, OracleSqlDedup, OracleSqlMedia, OracleSqlSim}
 import graft.operators.{Dedup, ExtractPipeline, Similarity, TextAnalysis}
 import graft.sources.Interleave
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -112,6 +112,15 @@ object SparkEntry {
       Dedup.simhash(Dedup.withMutants(documents(s, dir)))),
     "simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(Dedup.withMutants(documents(s, dir)))),
+    // ---- multimodal media pipeline ------------------------------------------------
+    "media_decode" -> ((s, dir) =>
+      graft.operators.MediaPipeline.decode(Interleave.docs(s, dir))),
+    "media_frames" -> ((s, dir) =>
+      graft.operators.MediaPipeline.frames(Interleave.docs(s, dir))),
+    "media_resize" -> ((s, dir) =>
+      graft.operators.MediaPipeline.resizePlan(Interleave.docs(s, dir))),
+    "media_features" -> ((s, dir) =>
+      graft.operators.MediaPipeline.features(Interleave.docs(s, dir))),
     // ---- similarity search / embedding near-dup ----------------------------------
     "ann_topk" -> ((s, dir) => Similarity.annTopK(embeddings(s, dir))),
     "ann_lsh_pairs" -> ((s, dir) =>
@@ -140,6 +149,10 @@ object SparkEntry {
     "neardup_pairs" -> OracleSqlDedup.neardupPairs,
     "simhash" -> OracleSqlDedup.simhash,
     "simhash_pairs" -> OracleSqlDedup.simhashPairs,
+    "media_decode" -> OracleSqlMedia.mediaDecode,
+    "media_frames" -> OracleSqlMedia.mediaFrames,
+    "media_resize" -> OracleSqlMedia.mediaResize,
+    "media_features" -> OracleSqlMedia.mediaFeatures,
     "ann_topk" -> OracleSqlSim.annTopK,
     "ann_lsh_pairs" -> OracleSqlSim.annLshPairs,
     "embed_neardup" -> OracleSqlSim.embedNeardup,
