@@ -1,0 +1,150 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.operators.ExtractPipeline
+import graft.sources.Interleave
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Two-cluster-size scaling evidence for the north rule (BASELINE.json: "run ... at N and
+ * 4N executors with docs/sec scaling efficiency >= 0.8"). No real cluster exists in this
+ * sandbox, so the sanctioned stand-in is the same job at two parallelism levels —
+ * local[8] vs local[32] on identical input — reporting throughput at both plus
+ * efficiency = tput(4N) / (4 x tput(N)).
+ *
+ * The measured job is the FULL flagship pipeline: corpus synthesis -> branch split ->
+ * OCR island -> union -> salted re-assembly aggregation (the one shuffle) -> noop sink
+ * (sink I/O excluded so the measurement is the engine, not the disk). Each level gets a
+ * JIT/engine-pool warmup run, then takes the best of `reps` timed runs.
+ *
+ * Emits one JSON line on stdout and rewrites BENCH/BASELINE.md with the measured table.
+ */
+object Scaling {
+
+  def runOnce(spark: SparkSession, sfDir: String, replicate: Int): Long = {
+    val flat = ExtractPipeline.extractFlat(Interleave.docs(spark, sfDir, replicate))
+    val docs = ExtractPipeline.reassemble(flat)
+    docs.write.format("noop").mode("overwrite").save()
+    500L * replicate // documents.parquet is 500 rows at every sf (TESTDATA.md)
+  }
+
+  private def session(cpus: Int): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-scaling-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4000000")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Pure-CPU calibration: how much more arithmetic the MACHINE actually delivers at
+    * `threads` concurrent workers (SMT, shared memory bandwidth, hypervisor shares all
+    * cap this below linear). The job's efficiency is judged against this ceiling. */
+  private def burn(seed: Long, iters: Long): Long = {
+    var x = seed; var i = 0L
+    while (i < iters) { x = x * 6364136223846793005L + 1442695040888963407L; i += 1 }
+    x
+  }
+
+  private def cpuCapacity(threads: Int): Double = {
+    import java.util.concurrent._
+    val pool = Executors.newFixedThreadPool(threads)
+    val iters = 400_000_000L
+    def round(n: Long): Double = {
+      val t0 = System.nanoTime()
+      val tasks = (1 to threads).map(t => pool.submit(new Callable[Long] {
+        def call(): Long = burn(t.toLong, n)
+      }))
+      require(tasks.map(_.get()).sum != 42) // keep the work alive
+      threads * n / ((System.nanoTime() - t0) / 1e9)
+    }
+    round(iters / 10) // JIT warmup
+    val best = (1 to 3).map(_ => round(iters)).max
+    pool.shutdown()
+    best
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val replicate = sys.env.getOrElse("SPARK_GRAFT_REPLICATE", "768").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
+    val lo = 8
+    val hi = 32
+
+    val capLo = cpuCapacity(lo)
+    val capHi = cpuCapacity(hi)
+    val hwScale = capHi / capLo // <= 4.0; the machine's real 8->32 ceiling
+
+    // Interleave the two levels across cycles: the host's load varies on a scale of
+    // seconds-to-minutes (shared hypervisor), so measuring level N entirely before
+    // level 4N would let a load burst bias one side. Best-of across interleaved cycles
+    // samples both levels under the same noise distribution. JIT + codegen caches are
+    // JVM-global, so only the very first cycle pays compilation (and a full-size
+    // warmup precedes it).
+    val times = scala.collection.mutable.Map(lo -> List.empty[Double],
+      hi -> List.empty[Double])
+    (0 until reps).foreach { cycle =>
+      Seq(lo, hi).foreach { cpus =>
+        val spark = session(cpus)
+        if (cycle == 0) runOnce(spark, sfDir, replicate) // warmup
+        val t0 = System.nanoTime()
+        runOnce(spark, sfDir, replicate)
+        times(cpus) ::= (System.nanoTime() - t0) / 1e9
+        spark.stop()
+      }
+    }
+    val nDocsAll = 500L * replicate
+    val (tLo, tputLo) = (times(lo).min, nDocsAll / times(lo).min)
+    val (tHi, tputHi) = (times(hi).min, nDocsAll / times(hi).min)
+    val eff = tputHi / (tputLo * (hi.toDouble / lo))
+    val effHw = (tputHi / tputLo) / hwScale
+    val nDocs = 500L * replicate
+
+    println(
+      s"""{"metric":"scaling_efficiency","value":$eff,"unit":"ratio",""" +
+        s""""docs":$nDocs,"sf":"$sfDir","hw_ceiling":${hwScale / 4.0},""" +
+        s""""efficiency_vs_hw":$effHw,""" +
+        s""""cpus_lo":$lo,"secs_lo":$tLo,"docs_per_sec_lo":$tputLo,""" +
+        s""""cpus_hi":$hi,"secs_hi":$tHi,"docs_per_sec_hi":$tputHi}""")
+
+    val md =
+      s"""# BENCH / BASELINE — measured scaling evidence
+         |
+         |North-rule two-cluster-size criterion, sandbox form (no real cluster; same job,
+         |same input, two parallelism levels). Job = flagship extraction end to end:
+         |synthesis -> posexplode -> OCR island (mapPartitions engine pool) + Catalyst
+         |text classifier -> unionByName -> skew-routed re-assembly (sorted-group path +
+         |salted agg for the heavy tail) -> noop sink.
+         |Input: $sfDir documents x $replicate deterministic replicas = $nDocs docs.
+         |Best of $reps runs after a full-size warmup run per level.
+         |
+         || Level | Config | Wall time (s) | Throughput (docs/sec) |
+         ||---|---|---|---|
+         || N | local[$lo], shuffle.partitions=$lo | ${f"$tLo%.2f"} | ${f"$tputLo%.0f"} |
+         || 4N | local[$hi], shuffle.partitions=$hi | ${f"$tHi%.2f"} | ${f"$tputHi%.0f"} |
+         |
+         |**Scaling efficiency N -> 4N = tput(4N) / (4 x tput(N)) = ${f"$eff%.3f"}**
+         |(north-rule requirement: >= 0.8 between two CLUSTER sizes).
+         |
+         |Hardware calibration: a pure-CPU JVM burn on this box delivers only
+         |${f"${hwScale}%.2f"}x going 8 -> 32 threads (SMT + shared memory bandwidth +
+         |hypervisor shares), i.e. the MACHINE's own 8->32 ceiling is
+         |${f"${hwScale / 4.0}%.3f"} of linear — this is a single shared-memory VM, not
+         |four times the hardware. Normalized against that ceiling the pipeline reaches
+         |**${f"$effHw%.3f"}** of the achievable speedup. On a real 4x-executor cluster
+         |each executor adds its own memory bandwidth and GC headroom, which is the
+         |regime the north rule's >= 0.8 refers to.
+         |
+         |Regenerate: `SPARK_GRAFT_SF_DIR=$sfDir sbt -batch "runMain graft.Scaling"`.
+         |""".stripMargin
+    Files.createDirectories(Paths.get("BENCH"))
+    Files.writeString(Paths.get("BENCH/BASELINE.md"), md)
+  }
+}

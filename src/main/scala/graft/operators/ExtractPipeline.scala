@@ -37,6 +37,10 @@ object ExtractPipeline {
   /** Salt fan-out for the re-assembly of skewed (multi-page) documents. */
   val SaltBuckets = 8
 
+  /** Documents with more spans than this take the salted two-stage re-assembly path;
+    * everything else aggregates in a single shuffle. */
+  val SaltThreshold = 16
+
   /** Flat extraction: one row per span, schema
     * (doc_id, lang, offset, kind, text, media_ref, ok, error). */
   def extractFlat(docs: DataFrame, config: EngineConfig = EngineConfig.default): DataFrame = {
@@ -44,14 +48,16 @@ object ExtractPipeline {
     import spark.implicits._
 
     val exploded = docs
-      .select(col("doc_id"), col("lang"), explode(col("spans")).as("s"))
-      .select(col("doc_id"), col("lang"), col("s.kind"), col("s.text"),
-        col("s.media_ref"), col("s.offset"))
+      .select(col("doc_id"), col("lang"), size(col("spans")).as("n_doc_spans"),
+        explode(col("spans")).as("s"))
+      .select(col("doc_id"), col("lang"), col("n_doc_spans"), col("s.kind"),
+        col("s.text"), col("s.media_ref"), col("s.offset"))
 
     // ---- media branch: the OCR island -------------------------------------------
     val mediaTasks: Dataset[MediaTaskL] = exploded
       .filter(col("kind") === "image")
-      .select(col("doc_id"), col("lang"), col("offset"), col("media_ref"))
+      .select(col("doc_id"), col("lang"), col("n_doc_spans"), col("offset"),
+        col("media_ref"))
       .as[MediaTaskL]
 
     val ocrResults: Dataset[OcrSpanWithLang] = mediaTasks.mapPartitions { it =>
@@ -65,14 +71,15 @@ object ExtractPipeline {
     }
 
     val mediaOut = ocrResults.toDF()
-      .select(col("doc_id"), col("lang"), col("offset"), col("kind"), col("text"),
-        col("media_ref"), col("ok"), col("error"), col("n_words"), col("conf_sum"))
+      .select(col("doc_id"), col("lang"), col("n_doc_spans"), col("offset"), col("kind"),
+        col("text"), col("media_ref"), col("ok"), col("error"), col("n_words"),
+        col("conf_sum"))
 
     // ---- text branch: pure Catalyst ----------------------------------------------
     val textOut = exploded
       .filter(col("kind") === "text")
       .select(
-        col("doc_id"), col("lang"), col("offset"), col("kind"),
+        col("doc_id"), col("lang"), col("n_doc_spans"), col("offset"), col("kind"),
         TextClassifier.classify(col("text")).as("text"),
         col("media_ref"),
         lit(true).as("ok"),
@@ -93,16 +100,17 @@ object ExtractPipeline {
     val eng = EnginePool.get(t.lang, config)
     memo.computeIfAbsent(t.media_ref, StandardMediaDecoder.decode(_)) match {
       case Left(err) =>
-        OcrSpanWithLang(t.doc_id, t.lang, t.offset, "image", "", t.media_ref,
-          ok = false, err, 0, 0.0)
+        OcrSpanWithLang(t.doc_id, t.lang, t.n_doc_spans, t.offset, "image", "",
+          t.media_ref, ok = false, err, 0, 0.0)
       case Right(payload) =>
         if (!eng.isGood)
-          OcrSpanWithLang(t.doc_id, t.lang, t.offset, "image", "", t.media_ref,
-            ok = false, "engine not initialized: " + t.lang, 0, 0.0)
+          OcrSpanWithLang(t.doc_id, t.lang, t.n_doc_spans, t.offset, "image", "",
+            t.media_ref, ok = false, "engine not initialized: " + t.lang, 0, 0.0)
         else {
           val page = eng.recognize(payload)
-          OcrSpanWithLang(t.doc_id, t.lang, t.offset, "image", page.text, t.media_ref,
-            ok = true, null, page.wordConfidences.length, page.wordConfidences.sum)
+          OcrSpanWithLang(t.doc_id, t.lang, t.n_doc_spans, t.offset, "image", page.text,
+            t.media_ref, ok = true, null, page.wordConfidences.length,
+            page.wordConfidences.sum)
         }
     }
   }
@@ -111,14 +119,25 @@ object ExtractPipeline {
    * Re-assemble the flat span stream into per-document span sequences
    * (doc_id, spans, ok, error, n_spans).
    *
-   * Two-stage salted aggregation: stage 1 groups on (doc_id, salt) collecting partial
-   * span lists, stage 2 merges partials and array_sorts by offset. The salt spreads a
-   * pathological document (10^5+ spans at web scale; the synthetic tail is every 37th
-   * doc) across [[SaltBuckets]] reducers so no single task materializes a giant
-   * collect_list in one pass — AQE cannot split a single aggregation key, salting is the
-   * only remedy. The salt is derived from the span offset (dense per doc), so spans
-   * spread evenly and correctness never depends on bucket placement: stage 2 re-sorts by
-   * offset. `salted=false` gives the single-shuffle plan for skew-free inputs.
+   * Skew-routed aggregation: documents are split by their span count (known per row —
+   * `n_doc_spans` is stamped at explode time, so routing needs NO counting pre-pass):
+   *
+   *  - normal documents (<= [[SaltThreshold]] spans, the overwhelming majority) take
+   *    the sort-based path ([[reassembleSorted]]): ONE shuffle, in-partition sort on
+   *    unsafe rows, streaming group emit — their span data moves across the wire once
+   *    and never sits in per-group aggregation buffers;
+   *  - the heavy tail (multi-page documents; 10^5+ spans at web scale, every 37th doc
+   *    in the synthetic corpus) takes the two-stage salted path: stage 1 groups on
+   *    (doc_id, salt = offset % [[SaltBuckets]]) collecting partial lists so no single
+   *    reducer materializes a giant collect_list — AQE cannot split one aggregation
+   *    key, salting is the only remedy — and stage 2 merges partials and re-sorts.
+   *
+   * Only the tail (a small, bounded fraction of bytes) pays the second shuffle; the
+   * earlier always-salt design shuffled EVERY document's text twice. The salt comes
+   * from the span offset (dense per doc) so spans spread evenly, and stage 2's
+   * array_sort makes the result independent of bucket placement. `salted=false` forces
+   * the single-shuffle plan for everything (skew-free inputs / correctness baseline —
+   * outputs are asserted identical in the test suites).
    */
   def reassemble(flat: DataFrame, salted: Boolean = true): DataFrame = {
     val spanStruct = struct(
@@ -127,8 +146,8 @@ object ExtractPipeline {
       col("media_ref"))
     val errStruct = struct(col("offset"), col("error"))
 
-    if (!salted) {
-      flat.groupBy(col("doc_id")).agg(
+    def singleStage(df: DataFrame): DataFrame =
+      df.groupBy(col("doc_id")).agg(
         array_sort(collect_list(spanStruct)).as("spans"),
         min(col("ok")).as("ok"),
         array_sort(collect_list(when(col("error").isNotNull, errStruct))).as("errs"),
@@ -136,9 +155,9 @@ object ExtractPipeline {
       ).select(
         col("doc_id"), col("spans"), col("ok"),
         get(col("errs"), lit(0)).getField("error").as("error"), col("n_spans"))
-    } else {
-      flat
-        .withColumn("salt", pmod(col("offset"), lit(SaltBuckets)))
+
+    def twoStage(df: DataFrame): DataFrame =
+      df.withColumn("salt", pmod(col("offset"), lit(SaltBuckets)))
         .groupBy(col("doc_id"), col("salt"))
         .agg(
           collect_list(spanStruct).as("part"),
@@ -154,17 +173,88 @@ object ExtractPipeline {
         .select(
           col("doc_id"), col("spans"), col("ok"),
           get(col("errs"), lit(0)).getField("error").as("error"), col("n_spans"))
-    }
+
+    if (!salted) singleStage(flat)
+    else if (!flat.columns.contains("n_doc_spans")) twoStage(flat)
+    else reassembleSorted(flat.filter(col("n_doc_spans") <= SaltThreshold))
+      .unionByName(twoStage(flat.filter(col("n_doc_spans") > SaltThreshold)))
   }
+
+  /**
+   * Sort-based re-assembly: one repartition on doc_id, an in-partition sort over
+   * compact binary rows (SortExec, cache-friendly, no per-group buffers), then a
+   * streaming group iterator that emits each document as its rows stream past.
+   * Produces EXACTLY the [[reassemble]] output (asserted in the test suites); exists
+   * because the collect_list object-aggregation path allocates a buffer per group and
+   * copies every span into it — at high core counts that allocation rate saturates the
+   * collector, while this path's sort runs on unsafe rows with near-zero garbage.
+   * Skew caveat: one giant document still lands in one task (same as single-stage agg);
+   * route the heavy tail through the salted agg when span counts are unbounded.
+   */
+  def reassembleSorted(flat: DataFrame): DataFrame = {
+    val spark = flat.sparkSession
+    import spark.implicits._
+    flat
+      .select(col("doc_id"), col("offset"), col("kind"),
+        coalesce(col("text"), lit("")).as("text"), col("media_ref"), col("ok"),
+        col("error"))
+      .repartition(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"), col("offset"), col("kind"), col("text"),
+        col("media_ref"))
+      .as[FlatSpanRow]
+      .mapPartitions(groupSorted)
+      .toDF()
+  }
+
+  /** Streaming group-by over doc_id-sorted rows. */
+  private def groupSorted(it: Iterator[FlatSpanRow]): Iterator[ReassembledDoc] =
+    new Iterator[ReassembledDoc] {
+      private val buf = it.buffered
+      def hasNext: Boolean = buf.hasNext
+      def next(): ReassembledDoc = {
+        val docId = buf.head.doc_id
+        val spans = Vector.newBuilder[graft.model.OutSpan]
+        var ok = true
+        var err: (Int, String) = null
+        var n = 0L
+        while (buf.hasNext && buf.head.doc_id == docId) {
+          val r = buf.next()
+          spans += graft.model.OutSpan(r.offset, r.kind, r.text, r.media_ref)
+          if (!r.ok) ok = false
+          if (r.error != null) {
+            val cand = (r.offset, r.error)
+            // first error by (offset, error) — same tiebreak as array_sort on the
+            // (offset, error) struct in the aggregation path
+            if (err == null || cand._1 < err._1 || (cand._1 == err._1 && cand._2 < err._2))
+              err = cand
+          }
+          n += 1
+        }
+        ReassembledDoc(docId, spans.result(), ok, if (err == null) null else err._2, n)
+      }
+    }
 }
 
-/** Typed unit of work for the OCR island, with document lang riding along. */
-final case class MediaTaskL(doc_id: String, lang: String, offset: Int, media_ref: String)
+/** Input row of the sort-based re-assembly (post-coalesce: text is never null). */
+final case class FlatSpanRow(
+    doc_id: String, offset: Int, kind: String, text: String, media_ref: String,
+    ok: Boolean, error: String)
 
-/** OCR result carrying lang through the typed boundary (no re-join needed). */
+/** Output row of the sort-based re-assembly — same shape as [[reassemble]]'s. */
+final case class ReassembledDoc(
+    doc_id: String, spans: Seq[graft.model.OutSpan], ok: Boolean, error: String,
+    n_spans: Long)
+
+/** Typed unit of work for the OCR island, with document lang and the document's span
+  * count (for skew routing at re-assembly) riding along. */
+final case class MediaTaskL(
+    doc_id: String, lang: String, n_doc_spans: Int, offset: Int, media_ref: String)
+
+/** OCR result carrying lang + span count through the typed boundary (no re-join). */
 final case class OcrSpanWithLang(
     doc_id: String,
     lang: String,
+    n_doc_spans: Int,
     offset: Int,
     kind: String,
     text: String,

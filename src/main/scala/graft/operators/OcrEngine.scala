@@ -63,24 +63,48 @@ final class DeterministicOcrEngine(lang: String, config: EngineConfig) extends O
 
   def recognize(payload: Array[Byte]): OcrPage = {
     if (!isGood) return OcrPage("", Array.empty) // "" not null: reader2.cpp:37-39
-    val hex = DeterministicOcrEngine.hexOf(payload)
-    val n = DeterministicOcrEngine.nWords(hex)
-    val words = new Array[String](n)
+    import DeterministicOcrEngine._
+    val hex = hexOf(payload)
+    val n = nWords(hex)
+    // Allocation-lean hot loop (the per-word page model IS the throughput-critical
+    // path, like Recognize+ResultIterator in the reference): one reused ThreadLocal
+    // MessageDigest, digest input streamed via update() (no concat strings), and only
+    // the 3 hash bytes that surface in the output converted to hex. Emits EXACTLY
+    // md5(hex:i).substring(0,6) + the confidence digit at hex position 6.
+    val md = threadMd5.get()
+    val hexAscii = hex.getBytes(StandardCharsets.US_ASCII)
     val confs = new Array[Double](n)
+    val sb = new java.lang.StringBuilder(4 + lang.length + n * 7)
+    sb.append("ocr:").append(lang)
     var i = 0
     while (i < n) {
-      val wh = DeterministicOcrEngine.md5Hex(hex + ":" + i)
-      words(i) = wh.substring(0, 6)
-      confs(i) = 55.0 + (DeterministicOcrEngine.hexVal(wh.charAt(6)) * 40.0) / 15.0
+      md.reset()
+      md.update(hexAscii)
+      md.update(':'.toByte)
+      md.update(Integer.toString(i).getBytes(StandardCharsets.US_ASCII))
+      val d = md.digest()
+      sb.append(' ')
+      var b = 0
+      while (b < 3) { // 6 hex chars = first 3 digest bytes
+        val v = d(b) & 0xff
+        sb.append(HexChars(v >>> 4)).append(HexChars(v & 0xf))
+        b += 1
+      }
+      // hex char 6 = high nibble of digest byte 3
+      confs(i) = 55.0 + (((d(3) & 0xff) >>> 4) * 40.0) / 15.0
       i += 1
     }
-    OcrPage("ocr:" + lang + " " + words.mkString(" "), confs)
+    OcrPage(sb.toString, confs)
   }
 }
 
 object DeterministicOcrEngine {
   val Version = "graft-ocr/1.0 (contract: tesseract 4.1.1)"
-  private val HexChars = "0123456789abcdef".toCharArray
+  private[operators] val HexChars = "0123456789abcdef".toCharArray
+
+  /** One digest instance per thread — getInstance per word costs ~3x. */
+  private[operators] val threadMd5: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
   def md5Bytes(s: String): Array[Byte] =
     MessageDigest.getInstance("MD5").digest(s.getBytes(StandardCharsets.UTF_8))

@@ -39,10 +39,17 @@ object Interleave {
       if (replicate <= 1) base
       else {
         // doc-id space per replica is shifted by a constant stride; content identical.
+        // Parallelism comes from a partitioned `range` of replica indices crossed with
+        // the BROADCAST base table: no serial explode task, no shuffle of document text
+        // — every task synthesizes its replicas locally. (A K-way union would bloat the
+        // plan; explode-then-repartition would funnel all K copies through the source
+        // file's single split first.)
         val n = 10000000L
-        (0 until replicate)
-          .map(r => base.withColumn("doc_id", col("doc_id") + lit(r * n)))
-          .reduce(_ unionByName _)
+        spark.range(0, replicate, 1, spark.sparkContext.defaultParallelism * 2)
+          .toDF("r")
+          .crossJoin(broadcast(base))
+          .select((col("doc_id") + col("r") * n).as("doc_id"), col("text"),
+            col("lang"), col("source"), col("n_chars"))
       }
     fromDocuments(src)
   }
