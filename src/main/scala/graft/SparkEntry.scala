@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{OracleSql, OracleSqlDedup, OracleSqlMedia, OracleSqlSim}
+import graft.functions.{OracleSql, OracleSqlDedup, OracleSqlMedia, OracleSqlRef, OracleSqlSim}
 import graft.operators.{Dedup, ExtractPipeline, Similarity, TextAnalysis}
 import graft.sources.Interleave
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -112,6 +112,23 @@ object SparkEntry {
       Dedup.simhash(Dedup.withMutants(documents(s, dir)))),
     "simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(Dedup.withMutants(documents(s, dir)))),
+    // ---- reference API surface: languages, capabilities, lang-dim join -----------
+    "lang_codes" -> ((s, _) => graft.sources.Languages.dim(s)
+      .orderBy(col("lang_code"))),
+    "capabilities" -> ((s, _) => graft.operators.Capabilities.table(s)),
+    "lang_join" -> ((s, dir) => {
+      val m = typedLit(graft.functions.OracleSqlRef.corpusToTess.toMap)
+      val counts = documents(s, dir).groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("n_chars"))
+      counts
+        .withColumn("lang_code", element_at(m, col("lang")))
+        .join(broadcast(graft.sources.Languages.dim(s)
+          .select(col("lang_code"), col("lang_name"))), Seq("lang_code"), "left")
+        .select(col("lang"), col("lang_code"), col("lang_name"),
+          col("n_docs"), col("n_chars"))
+        .orderBy(col("lang"))
+    }),
     // ---- multimodal media pipeline ------------------------------------------------
     "media_decode" -> ((s, dir) =>
       graft.operators.MediaPipeline.decode(Interleave.docs(s, dir))),
@@ -149,6 +166,9 @@ object SparkEntry {
     "neardup_pairs" -> OracleSqlDedup.neardupPairs,
     "simhash" -> OracleSqlDedup.simhash,
     "simhash_pairs" -> OracleSqlDedup.simhashPairs,
+    "lang_codes" -> OracleSqlRef.langCodes,
+    "capabilities" -> OracleSqlRef.capabilities,
+    "lang_join" -> OracleSqlRef.langJoin,
     "media_decode" -> OracleSqlMedia.mediaDecode,
     "media_frames" -> OracleSqlMedia.mediaFrames,
     "media_resize" -> OracleSqlMedia.mediaResize,

@@ -1,0 +1,62 @@
+package graft.functions
+
+import graft.operators.Capabilities
+import graft.sources.Languages
+
+/**
+ * DuckDB oracles for the reference-API surface operators: the LANGUAGE_CODES dimension,
+ * the capability-string parse, and the broadcast language-dimension join. The dimension
+ * VALUES clauses are GENERATED from the same Scala constants the Spark side uses, so the
+ * two can never drift.
+ */
+object OracleSqlRef {
+
+  private def q(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  private val langValues: String =
+    Languages.LanguageCodes
+      .map { case (c, n) => s"(${q(c)}, ${q(n)})" }
+      .mkString(", ")
+
+  val langCodes: String =
+    s"""SELECT lang_code, lang_name, lang_code || '.traineddata' AS traineddata
+       |FROM (VALUES $langValues) AS t(lang_code, lang_name)
+       |ORDER BY lang_code""".stripMargin
+
+  val capabilities: String =
+    s"""WITH segs AS (
+       |  SELECT trim(s.s) AS seg
+       |  FROM UNNEST(string_split(${q(Capabilities.ImageLibVersions)}, ':')) AS s(s)
+       |),
+       |parsed AS (
+       |  SELECT split_part(seg, ' ', 1) AS lib, split_part(seg, ' ', 2) AS version
+       |  FROM segs
+       |  UNION ALL
+       |  SELECT 'tesseract-contract', ${q(Capabilities.EngineVersion)}
+       |)
+       |SELECT lib, version,
+       |       CASE WHEN regexp_matches(version, ${q(Capabilities.VersionRegex)})
+       |            THEN 1 ELSE 0 END AS version_ok
+       |FROM parsed ORDER BY lib""".stripMargin
+
+  /** Corpus lang -> tessdata code mapping used by [[graft.SparkEntry]] `lang_join`. */
+  val corpusToTess: Seq[(String, String)] = Seq(
+    "en" -> "eng", "fr" -> "fra", "de" -> "deu", "es" -> "spa", "zh" -> "chi_sim")
+
+  val langJoin: String = {
+    val mapValues = corpusToTess.map { case (a, b) => s"(${q(a)}, ${q(b)})" }
+      .mkString(", ")
+    s"""WITH dim AS (SELECT * FROM (VALUES $langValues) AS t(lang_code, lang_name)),
+       |m AS (SELECT * FROM (VALUES $mapValues) AS t(lang, lang_code)),
+       |counts AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_chars) AS BIGINT) AS n_chars
+       |  FROM documents GROUP BY lang
+       |)
+       |SELECT c.lang, m.lang_code, d.lang_name, c.n_docs, c.n_chars
+       |FROM counts c
+       |LEFT JOIN m ON c.lang = m.lang
+       |LEFT JOIN dim d ON m.lang_code = d.lang_code
+       |ORDER BY c.lang""".stripMargin
+  }
+}
