@@ -27,20 +27,20 @@ object TuneBench {
       }
       // full-size warmup: JIT the whole pipeline incl. codegen'd stages + agg
       ExtractPipeline.reassemble(
-        ExtractPipeline.extractFlat(Interleave.docs(spark, sfDir, replicate)))
+        ExtractPipeline.extractFlat(Interleave.materializedDocs(spark, sfDir, replicate)))
         .write.format("noop").mode("overwrite").save()
       t("flat_narrow") {
-        ExtractPipeline.extractFlat(Interleave.docs(spark, sfDir, replicate))
+        ExtractPipeline.extractFlat(Interleave.materializedDocs(spark, sfDir, replicate))
           .write.format("noop").mode("overwrite").save()
       }
       t("full_reassemble") {
         ExtractPipeline.reassemble(
-          ExtractPipeline.extractFlat(Interleave.docs(spark, sfDir, replicate)))
+          ExtractPipeline.extractFlat(Interleave.materializedDocs(spark, sfDir, replicate)))
           .write.format("noop").mode("overwrite").save()
       }
       t("full_sorted") {
         ExtractPipeline.reassembleSorted(
-          ExtractPipeline.extractFlat(Interleave.docs(spark, sfDir, replicate)))
+          ExtractPipeline.extractFlat(Interleave.materializedDocs(spark, sfDir, replicate)))
           .write.format("noop").mode("overwrite").save()
       }
       spark.stop()

@@ -113,6 +113,25 @@ object Interleave {
       .select(docIdStr(d).as("doc_id"), col("lang"), col("spans"))
   }
 
+  /**
+   * The synthesized corpus MATERIALIZED as a parquet table — the bench/scale entry
+   * point. The engine's real input contract is an Iceberg-style TABLE (BASELINE.json
+   * `input_hint`), so at measurement time the pipeline must start at a columnar scan:
+   * (a) that is what production does, (b) a live synthesis expression is re-evaluated
+   * by every consumer above it (explode's implicit size>0 filter alone doubles it),
+   * polluting any throughput number, and (c) only a real scan exercises nested-schema
+   * pruning (each branch reads only its span fields). Written once per
+   * (sfDir, replicate) under java.io.tmpdir; subsequent calls just scan.
+   */
+  def materializedDocs(spark: SparkSession, sfDir: String, replicate: Int = 1): DataFrame = {
+    val tag = (sfDir + "#" + replicate).hashCode.toHexString
+    val path = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft-corpus-$tag")
+    if (!java.nio.file.Files.exists(path.resolve("_SUCCESS")))
+      docs(spark, sfDir, replicate).write.mode("overwrite").parquet(path.toString)
+    spark.read.parquet(path.toString)
+  }
+
   /** 'doc-000042' — lexicographic order == numeric order, so range partitioning and
     * resume pruning on the string key behave like on the numeric key. */
   def docIdStr(d: Column): Column = concat(lit("doc-"), lpad(d.cast("string"), 6, "0"))
