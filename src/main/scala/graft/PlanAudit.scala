@@ -19,6 +19,9 @@ object PlanAudit {
       case "flat" =>
         graft.operators.ExtractPipeline.extractFlat(
           graft.sources.Interleave.docs(spark, sfDir))
+      case "flat_mat" =>
+        graft.operators.ExtractPipeline.extractFlat(
+          graft.sources.Interleave.materializedDocs(spark, sfDir))
       case "reassemble" =>
         graft.operators.ExtractPipeline.reassemble(
           graft.operators.ExtractPipeline.extractFlat(

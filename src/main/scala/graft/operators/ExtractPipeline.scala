@@ -47,14 +47,28 @@ object ExtractPipeline {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    val exploded = docs
-      .select(col("doc_id"), col("lang"), size(col("spans")).as("n_doc_spans"),
-        explode(col("spans")).as("s"))
+    // Each branch explodes an arrays_zip of ONLY the subfield arrays it consumes.
+    // This shape is deliberate: `explode(spans)` with doc_id/lang carried alongside
+    // defeats generator nested-column aliasing (the scan then reads the FULL span
+    // struct in both branches), whereas projecting the subfield arrays first makes
+    // pruning a plain projection case — the media branch's scan never reads
+    // spans.text (the bulk of the bytes at web scale) and the text branch never
+    // reads spans.media_ref. Verify with PlanAudit: per-branch ReadSchema.
+    // n_doc_spans likewise counts the `kind` subfield, not size(spans).
+    def explodedWith(third: String): DataFrame = docs
+      .select(col("doc_id"), col("lang"),
+        arrays_zip(col("spans.kind").as("kind"), col(s"spans.$third").as(third),
+          col("spans.offset").as("offset")).as("zs"))
+      .select(col("doc_id"), col("lang"), size(col("zs")).as("n_doc_spans"),
+        explode(col("zs")).as("s"))
       .select(col("doc_id"), col("lang"), col("n_doc_spans"), col("s.kind"),
-        col("s.text"), col("s.media_ref"), col("s.offset"))
+        col(s"s.$third"), col("s.offset"))
+
+    val explodedMedia = explodedWith("media_ref")
+    val explodedText = explodedWith("text")
 
     // ---- media branch: the OCR island -------------------------------------------
-    val mediaTasks: Dataset[MediaTaskL] = exploded
+    val mediaTasks: Dataset[MediaTaskL] = explodedMedia
       .filter(col("kind") === "image")
       .select(col("doc_id"), col("lang"), col("n_doc_spans"), col("offset"),
         col("media_ref"))
@@ -76,12 +90,12 @@ object ExtractPipeline {
         col("conf_sum"))
 
     // ---- text branch: pure Catalyst ----------------------------------------------
-    val textOut = exploded
+    val textOut = explodedText
       .filter(col("kind") === "text")
       .select(
         col("doc_id"), col("lang"), col("n_doc_spans"), col("offset"), col("kind"),
         TextClassifier.classify(col("text")).as("text"),
-        col("media_ref"),
+        lit(null).cast("string").as("media_ref"),
         lit(true).as("ok"),
         lit(null).cast("string").as("error"),
         lit(0).as("n_words"),
