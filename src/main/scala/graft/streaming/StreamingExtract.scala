@@ -1,0 +1,86 @@
+package graft.streaming
+
+import graft.operators.ExtractPipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/**
+ * Structured Streaming form of the extraction pipeline.
+ *
+ * The reference is strictly batch (no streaming construct anywhere in its tree —
+ * SURVEY.md §2.9), and the engine's durable resume story is the snapshot manifest
+ * ([[graft.sources.SnapshotSink]]). This module is the INGESTION surface on top: new
+ * interleaved-document files appear in a table directory, the SAME extractFlat
+ * transform runs over `readStream` (every op in the flat pipeline — explode, filter,
+ * the typed mapPartitions OCR island, union — is stateless, so it is streaming-legal
+ * in append mode unchanged), and the checkpointed file-source offsets give
+ * exactly-once: a restarted stream re-reads nothing it has committed.
+ *
+ * Scale notes: the streaming plan is the batch plan — no extra shuffle; file-source
+ * listing is incremental; `Trigger.AvailableNow` drains the backlog with the batch
+ * engine's full parallelism and stops (the deploy mode for catch-up+exit jobs).
+ */
+object StreamingExtract {
+
+  /** Streaming extractFlat over a parquet table directory being appended to. */
+  def stream(spark: SparkSession, tableDir: String): DataFrame = {
+    val schema = spark.read.parquet(tableDir).schema
+    val docs = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "16")
+      .parquet(tableDir)
+    ExtractPipeline.extractFlat(docs)
+  }
+
+  /** Drain everything currently in `tableDir` into `outDir` exactly once
+    * (re-invocations with the same checkpoint only process NEW files). */
+  def drainOnce(spark: SparkSession, tableDir: String, outDir: String,
+      checkpointDir: String): Unit = {
+    val q = stream(spark, tableDir).writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /**
+   * Watermarked per-language windowed span counts: event time is derived
+   * deterministically from the doc_id (numeric suffix -> seconds past a fixed epoch),
+   * 60s tumbling windows, 120s watermark so late documents fold in and state is
+   * bounded — the standard streaming-agg shape, emitting only finalized windows in
+   * append mode.
+   */
+  def windowedMetrics(spark: SparkSession, tableDir: String): DataFrame = {
+    val flat = stream(spark, tableDir)
+      .withColumn("event_ts",
+        timestamp_seconds(
+          unix_timestamp(to_timestamp(lit("2026-01-01 00:00:00")))
+            + substring(col("doc_id"), 5, 10).cast("long")))
+    flat
+      .withWatermark("event_ts", "120 seconds")
+      .groupBy(window(col("event_ts"), "60 seconds"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("error").isNotNull, 1L).otherwise(0L)).as("n_err"))
+      .select(col("window.start").as("win_start"), col("lang"), col("n_spans"),
+        col("n_err"))
+  }
+
+  /** Drain the windowed metrics stream once (AvailableNow) into memory sink rows. */
+  def drainWindowedMetrics(spark: SparkSession, tableDir: String,
+      checkpointDir: String, queryName: String): DataFrame = {
+    val q = windowedMetrics(spark, tableDir).writeStream
+      .format("memory")
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Paths
+
+import graft.operators.ExtractPipeline
+import graft.sources.{Interleave, SnapshotSink}
+import graft.streaming.StreamingExtract
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming ingestion: the streaming plan produces exactly the batch extraction, and
+  * the checkpointed file source is exactly-once across restarts — only files that
+  * arrived after the last drain are processed by the next one. */
+class StreamingExtractSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def tmp(tag: String): String = {
+    val p = Paths.get(sys.props("java.io.tmpdir"), s"graft-stream-$tag")
+    SnapshotSink.deleteRecursively(p)
+    p.toString
+  }
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.select(col("doc_id"), col("offset"), col("kind"), col("text"),
+        coalesce(col("media_ref"), lit("")), col("ok").cast("int"),
+        coalesce(col("error"), lit("")))
+      .collect().map(_.mkString("|")).sorted.toSeq
+
+  test("streaming extractFlat == batch extractFlat; restart processes only new files") {
+    val table = tmp("table"); val out = tmp("out"); val ckpt = tmp("ckpt")
+
+    // batch 1: first half of the corpus arrives
+    val docs = Interleave.docs(spark, sfDir)
+    val half1 = docs.filter(substring(col("doc_id"), 5, 10).cast("long") < 250)
+    val half2 = docs.filter(substring(col("doc_id"), 5, 10).cast("long") >= 250)
+    half1.write.mode("append").parquet(table)
+    StreamingExtract.drainOnce(spark, table, out, ckpt)
+    val afterFirst = spark.read.parquet(out).count()
+    assert(afterFirst > 0)
+
+    // batch 2 arrives; a RESTARTED stream (same checkpoint) must only read new files
+    half2.write.mode("append").parquet(table)
+    StreamingExtract.drainOnce(spark, table, out, ckpt)
+
+    val streamed = canon(spark.read.parquet(out))
+    val batch = canon(ExtractPipeline.extractFlat(docs))
+    assert(streamed === batch) // no loss, no duplication across the restart
+    assert(streamed.size > afterFirst)
+  }
+
+  test("watermarked windowed metrics finalize closed windows and match batch counts") {
+    val table = tmp("wtable"); val ckpt = tmp("wckpt")
+    Interleave.docs(spark, sfDir).write.mode("append").parquet(table)
+    val got = StreamingExtract
+      .drainWindowedMetrics(spark, table, ckpt, "win_metrics")
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got.nonEmpty)
+
+    // batch mirror of the same window arithmetic; AvailableNow finalizes every window
+    // whose end precedes max(event_ts) - watermark, so expect that subset
+    val flat = ExtractPipeline.extractFlat(Interleave.docs(spark, sfDir))
+      .withColumn("sec", substring(col("doc_id"), 5, 10).cast("long"))
+    val epoch = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    val maxSec = flat.agg(max(col("sec"))).collect()(0).getLong(0)
+    val expected = flat
+      .withColumn("win", (col("sec") - pmod(col("sec"), lit(60L))))
+      .groupBy(col("win"), col("lang"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("error").isNotNull, 1L).otherwise(0L)).as("n_err"))
+      .filter(col("win") + 60 <= maxSec - 120) // only watermark-closed windows
+      .collect()
+      .map(r => (epoch + r.getLong(0) * 1000L, r.getString(1), r.getLong(2),
+        r.getLong(3)))
+      .toSet
+    assert(got === expected)
+  }
+}
