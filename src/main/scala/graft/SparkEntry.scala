@@ -100,6 +100,28 @@ object SparkEntry {
     "extract_metrics" -> (extractMetrics(_, _)),
     "span_metrics" -> (spanMetrics(_, _)),
     "snapshot_lineage" -> (snapshotLineage(_, _)),
+    "hocr_words" -> ((s, dir) => {
+      import graft.functions.HocrAlto
+      ExtractPipeline.extractFlat(Interleave.docs(s, dir))
+        .filter(col("kind") === "image" && col("ok"))
+        .select(col("doc_id"), col("offset"),
+          posexplode(HocrAlto.parseHocr(HocrAlto.toHocr(col("text")))))
+        .select(col("doc_id"), col("offset"), col("pos").cast("int").as("word_idx"),
+          col("col.word"), col("col.x0"), col("col.y0"), col("col.x1"),
+          col("col.y1"), col("col.conf"))
+        .orderBy(col("doc_id"), col("offset"), col("word_idx"))
+    }),
+    "alto_words" -> ((s, dir) => {
+      import graft.functions.HocrAlto
+      ExtractPipeline.extractFlat(Interleave.docs(s, dir))
+        .filter(col("kind") === "image" && col("ok"))
+        .select(col("doc_id"), col("offset"),
+          posexplode(HocrAlto.parseAlto(HocrAlto.toAlto(col("text")))))
+        .select(col("doc_id"), col("offset"), col("pos").cast("int").as("word_idx"),
+          col("col.word"), col("col.hpos"), col("col.vpos"), col("col.width"),
+          col("col.height"), col("col.wc"))
+        .orderBy(col("doc_id"), col("offset"), col("word_idx"))
+    }),
     // ---- training-data dedup family --------------------------------------------
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(Dedup.withExactCopies(documents(s, dir)))),
@@ -161,6 +183,8 @@ object SparkEntry {
     "extract_metrics" -> OracleSql.extractMetrics,
     "span_metrics" -> OracleSql.spanMetrics,
     "snapshot_lineage" -> OracleSql.snapshotLineage,
+    "hocr_words" -> OracleSql.hocrWords,
+    "alto_words" -> OracleSql.altoWords,
     "dedup_exact" -> OracleSqlDedup.dedupExact,
     "minhash_bands" -> OracleSqlDedup.minhashBands,
     "neardup_pairs" -> OracleSqlDedup.neardupPairs,

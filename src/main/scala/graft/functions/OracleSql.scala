@@ -134,6 +134,44 @@ object OracleSql {
        |       CAST(sum($nWordsExpr) AS BIGINT) AS n_words
        |FROM extracted GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** Expected hOCR/ALTO parse output computed DIRECTLY from the engine word model
+    * (word i of an ok media span = substr(md5(payloadHex:i),1,6); geometry/conf per
+    * [[HocrAlto]]'s deterministic layout) — independent of the Spark side's actual
+    * build->parse round-trip, so a parser bug cannot cancel out. */
+  private def wordCtes: String =
+    s"""okm AS (
+       |  SELECT doc_id, "offset", md5('payload:' || media_ref) AS h
+       |  FROM mspans
+       |  WHERE media_ref NOT LIKE 'missing-%' AND lang IN $availableLangsSql
+       |),
+       |words AS (
+       |  SELECT m.doc_id, m."offset", CAST(w.w AS INT) AS word_idx,
+       |         substr(md5(m.h || ':' || CAST(w.w AS VARCHAR)), 1, 6) AS word
+       |  FROM okm m,
+       |       UNNEST(generate_series(0, 8 + 2 * (instr('0123456789abcdef', substr(m.h, 1, 1)) - 1) - 1)) AS w(w)
+       |)""".stripMargin
+
+  private val wordConf: String =
+    "CAST(50 + 3 * (instr('0123456789abcdef', substr(word, 1, 1)) - 1) AS INT)"
+
+  val hocrWords: String =
+    s"""$extractionCtes,
+       |$wordCtes
+       |SELECT doc_id, "offset", word_idx, word,
+       |       CAST(word_idx * 10 AS INT) AS x0, CAST(0 AS INT) AS y0,
+       |       CAST(word_idx * 10 + 8 AS INT) AS x1, CAST(12 AS INT) AS y1,
+       |       $wordConf AS conf
+       |FROM words ORDER BY doc_id, "offset", word_idx""".stripMargin
+
+  val altoWords: String =
+    s"""$extractionCtes,
+       |$wordCtes
+       |SELECT doc_id, "offset", word_idx, word,
+       |       CAST(word_idx * 10 AS INT) AS hpos, CAST(0 AS INT) AS vpos,
+       |       CAST(8 AS INT) AS width, CAST(12 AS INT) AS height,
+       |       $wordConf AS wc
+       |FROM words ORDER BY doc_id, "offset", word_idx""".stripMargin
+
   val extractMetrics: String =
     s"""$extractionCtes
        |SELECT lang,
