@@ -34,7 +34,14 @@ object TextClassifier {
   def paragraphText(raw: Column): Column =
     array_join(regexp_extract_all(raw, lit("<p>([^<]*)</p>"), lit(1)), " ")
 
-  /** The classified main content of a text span. Never null: boilerplate => "". */
-  def classify(raw: Column): Column =
+  /** Declarative (3-regex) form — kept as the differential-testing and documentation
+    * reference; the DuckDB oracle mirrors THIS formulation independently. */
+  def classifyDeclarative(raw: Column): Column =
     when(isBoilerplate(raw), lit("")).otherwise(paragraphText(raw))
+
+  /** The classified main content of a text span. Never null: boilerplate => "".
+    * Production path: the single-pass codegen'd native expression
+    * [[graft.functions.BoilerplateExtract]] (one scan instead of three regex passes;
+    * BoilerplateSpec asserts bit-equality with [[classifyDeclarative]]). */
+  def classify(raw: Column): Column = graft.functions.BoilerplateExtract(raw)
 }
