@@ -1,0 +1,37 @@
+package graft
+
+import graft.functions.{BoilerplateExtract, SimHash32}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/**
+ * Session-extension entry point registering the engine's native Catalyst expressions as
+ * SQL functions — attach with
+ * `spark.sql.extensions=graft.GraftExtensions`
+ * and `SELECT boilerplate_extract(markup)`, `SELECT simhash32(text)` work from plain
+ * SQL (and from any SQL-speaking client), with full whole-stage codegen.
+ *
+ * This is the (c)-tier extension mechanism of the build rules (custom Expression
+ * registered via SparkSessionExtensions); no custom LogicalPlan/Strategy is injected
+ * because nothing in the engine's semantics requires plan surgery (SURVEY.md §4.2).
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("boilerplate_extract"),
+      new ExpressionInfo(classOf[BoilerplateExtract].getName, "boilerplate_extract"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "boilerplate_extract(markup) takes one argument")
+        BoilerplateExtract(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash32(text) takes one argument")
+        SimHash32(args.head)
+      }))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
@@ -42,7 +42,7 @@ case class BoilerplateExtract(child: Expression) extends UnaryExpression {
 object BoilerplateExtract {
   /** Column-level entry point. */
   def apply(raw: Column): Column =
-    GraftColumnBridge.column(BoilerplateExtract(GraftColumnBridge.expression(raw)))
+    ColumnBridge.column(BoilerplateExtract(ColumnBridge.expression(raw)))
 }
 
 /** Static single-pass scanner (Java-callable from generated code). */

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The session extension makes the native expressions SQL-callable: a session built
+  * with spark.sql.extensions=graft.GraftExtensions resolves boilerplate_extract and
+  * simhash32 in plain SQL, matching the Column-API results. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("native expressions resolve and evaluate from plain SQL") {
+    // extensions attach at SESSION build time: clear the default so getOrCreate makes a
+    // fresh SparkSession (reusing the JVM's SparkContext — do NOT stop it, other suites
+    // share it) with the extensions applied
+    SparkTestSession.spark // ensure the shared context exists first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // spark.sql.extensions is a STATIC conf read from the SparkContext at first
+    // creation; for a context that already exists, builder.withExtensions is the
+    // supported way to attach them to a new session (same extension class either way)
+    val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions().apply(_))
+      .getOrCreate()
+    try {
+      val r = spark.sql(
+        """SELECT boilerplate_extract('<nav>m</nav><p>hello</p><a href="u">x</a>') AS c,
+          |       boilerplate_extract('<ul><a href="u">all link</a></ul>') AS b,
+          |       simhash32('hello world') AS h""".stripMargin).collect()(0)
+      assert(r.getString(0) === "hello")
+      assert(r.getString(1) === "") // link farm -> boilerplate -> empty, never null
+      assert(r.getLong(2) === graft.functions.SimHashImpl.simhash32(
+        org.apache.spark.unsafe.types.UTF8String.fromString("hello world")))
+    } finally {
+      // leave the shared SparkContext running; just detach this session
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+}
