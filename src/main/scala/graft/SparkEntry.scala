@@ -167,6 +167,9 @@ object SparkEntry {
     "embed_neardup" -> ((s, dir) =>
       Similarity.embedNeardup(Similarity.withEmbMutants(embeddings(s, dir)))),
     "ivf_topk" -> ((s, dir) => Similarity.ivfTopK(embeddings(s, dir))),
+    // ---- sessionization (events table, window-function family) -------------------
+    "sessionize" -> ((s, dir) => graft.operators.Sessions.sessionize(
+      s.read.parquet(s"$dir/events.parquet"))),
     // ---- text analysis -----------------------------------------------------------
     "text_quality" -> ((s, dir) => TextAnalysis.quality(documents(s, dir))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(documents(s, dir))),
@@ -201,6 +204,7 @@ object SparkEntry {
     "ann_lsh_pairs" -> OracleSqlSim.annLshPairs,
     "embed_neardup" -> OracleSqlSim.embedNeardup,
     "ivf_topk" -> OracleSqlSim.ivfTopK,
+    "sessionize" -> OracleSqlRef.sessionize,
     "text_quality" -> OracleSqlDedup.textQuality,
     "lang_id" -> OracleSqlDedup.langId,
     "token_stats" -> OracleSqlDedup.tokenStats,

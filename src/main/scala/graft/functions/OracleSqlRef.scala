@@ -43,6 +43,30 @@ object OracleSqlRef {
   val corpusToTess: Seq[(String, String)] = Seq(
     "en" -> "eng", "fr" -> "fra", "de" -> "deu", "es" -> "spa", "zh" -> "chi_sim")
 
+  /** Mirror of [[graft.operators.Sessions.sessionize]] (30-minute gap). */
+  val sessionize: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+      |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |              THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |),
+      |a AS (
+      |  SELECT user_id, event_type, ts_us,
+      |         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS session_idx
+      |  FROM e
+      |)
+      |SELECT user_id, session_idx,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+      |       CAST(min(ts_us) AS BIGINT) AS start_us,
+      |       CAST(max(ts_us) AS BIGINT) AS end_us,
+      |       CAST(max(ts_us) - min(ts_us) AS BIGINT) AS dur_us
+      |FROM a GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin
+
   val langJoin: String = {
     val mapValues = corpusToTess.map { case (a, b) => s"(${q(a)}, ${q(b)})" }
       .mkString(", ")
