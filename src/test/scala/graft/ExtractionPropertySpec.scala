@@ -80,6 +80,28 @@ class ExtractionPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("giant document (5000 spans) routes through the salted path and stays exact") {
+    // far above SaltThreshold: exercises the two-stage salted aggregation deliberately
+    val spans = (0 until 5000).map { i =>
+      if (i % 3 == 0) Span("image", null, if (i % 41 == 0) s"missing-$i" else s"m-9-$i", i)
+      else Span("text", s"<p>body $i</p><a href=\"u\">x</a>", null, i)
+    }
+    val doc = Doc("doc-900001", "en", spans)
+    val small = Doc("doc-900002", "fr", Seq(Span("text", "<p>tiny</p>", null, 0)))
+    val flat = ExtractPipeline.extractFlat(spark.createDataset(Seq(doc, small)).toDF())
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), to_json(col("spans")), col("ok"), col("error"), col("n_spans"))
+        .collect().map(_.mkString("|")).sorted.toSeq
+    val salted = canon(ExtractPipeline.reassemble(flat, salted = true))
+    val plain = canon(ExtractPipeline.reassemble(flat, salted = false))
+    assert(salted === plain)
+    // and both equal the oracle
+    val expected = Seq(doc, small).map(d => Oracle.extract(d))
+    val got = ExtractPipeline.reassemble(flat).collect()
+      .map(r => r.getAs[String]("doc_id") -> r.getAs[Long]("n_spans")).toMap
+    expected.foreach(e => assert(got(e.doc_id) === e.spans.size.toLong, e.doc_id))
+  }
+
   test("salting never reorders: reassemble(salted) == reassemble(unsalted)") {
     (20L to 22L).foreach { seed =>
       val docs = sampleDocs(seed, 6)
