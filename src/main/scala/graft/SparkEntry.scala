@@ -174,7 +174,9 @@ object SparkEntry {
     "text_quality" -> ((s, dir) => TextAnalysis.quality(documents(s, dir))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(documents(s, dir))),
     "token_stats" -> ((s, dir) => TextAnalysis.tokenStats(documents(s, dir))),
-    "fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(documents(s, dir)))
+    "fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(documents(s, dir))),
+    "term_df" -> ((s, dir) => TextAnalysis.termDf(documents(s, dir))),
+    "top_terms" -> ((s, dir) => TextAnalysis.topTerms(documents(s, dir)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -208,6 +210,8 @@ object SparkEntry {
     "text_quality" -> OracleSqlDedup.textQuality,
     "lang_id" -> OracleSqlDedup.langId,
     "token_stats" -> OracleSqlDedup.tokenStats,
-    "fingerprint" -> OracleSqlDedup.fingerprint
+    "fingerprint" -> OracleSqlDedup.fingerprint,
+    "term_df" -> graft.functions.OracleSqlText.termDf,
+    "top_terms" -> graft.functions.OracleSqlText.topTerms
   )
 }

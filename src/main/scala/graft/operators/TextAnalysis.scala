@@ -74,6 +74,42 @@ object TextAnalysis {
     ).orderBy(col("doc_id"))
   }
 
+  /** Corpus term statistics: (term, df, cf) — document frequency and corpus frequency
+    * in one exploded aggregation (the vocabulary/inverted-index building block of a
+    * pretraining pipeline). One shuffle on the term; uniform by construction. */
+  def termDf(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("cf"))
+      .orderBy(col("term"))
+
+  /** Top-k salient terms per document by an EXACT-rational tf-idf-style score:
+    * score_e6 = floor(1e6 * tf * N / (df * n_tokens_doc)) — pure integer arithmetic,
+    * so the DuckDB mirror matches bit-for-bit (a log-based idf would hit last-ulp
+    * divergence between libm implementations). Ties break on the term. */
+  def topTerms(documents: DataFrame, k: Int = 3): DataFrame = {
+    val n = documents.count() // corpus size: one tiny job, broadcast as a literal
+    val tf = documents
+      .select(col("doc_id"), size(toks(col("text"))).cast("long").as("dl"),
+        explode(toks(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score_e6").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .withColumn("score_e6",
+        floor(lit(1000000.0) * col("tf") * lit(n) / (col("df") * col("dl")))
+          .cast("long"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
+        col("score_e6"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   /** Word n-gram shingles of the text, as raw joined strings. */
   def shingles(text: Column, n: Int): Column = {
     val t = toks(text)
