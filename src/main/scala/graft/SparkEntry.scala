@@ -176,7 +176,12 @@ object SparkEntry {
     "token_stats" -> ((s, dir) => TextAnalysis.tokenStats(documents(s, dir))),
     "fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(documents(s, dir))),
     "term_df" -> ((s, dir) => TextAnalysis.termDf(documents(s, dir))),
-    "top_terms" -> ((s, dir) => TextAnalysis.topTerms(documents(s, dir)))
+    "top_terms" -> ((s, dir) => TextAnalysis.topTerms(documents(s, dir))),
+    // ---- training-data hygiene ----------------------------------------------------
+    "repetition" -> ((s, dir) => graft.operators.Hygiene.repetition(documents(s, dir))),
+    "decontaminate" -> ((s, dir) => graft.operators.Hygiene.decontaminate(documents(s, dir))),
+    "pii_redact" -> ((s, dir) => graft.operators.Hygiene.piiRedact(
+      graft.operators.Hygiene.withPii(documents(s, dir))))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -212,6 +217,9 @@ object SparkEntry {
     "token_stats" -> OracleSqlDedup.tokenStats,
     "fingerprint" -> OracleSqlDedup.fingerprint,
     "term_df" -> graft.functions.OracleSqlText.termDf,
-    "top_terms" -> graft.functions.OracleSqlText.topTerms
+    "top_terms" -> graft.functions.OracleSqlText.topTerms,
+    "repetition" -> graft.functions.OracleSqlHygiene.repetition,
+    "decontaminate" -> graft.functions.OracleSqlHygiene.decontaminate,
+    "pii_redact" -> graft.functions.OracleSqlHygiene.piiRedact
   )
 }
