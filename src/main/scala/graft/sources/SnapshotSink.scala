@@ -119,7 +119,13 @@ object SnapshotSink {
       val docsW = docs.filter(bucketOf(col("doc_id"), nBuckets).isin(wave: _*))
       val flat = ExtractPipeline.extractFlat(docsW, config)
         .withColumn("bucket", bucketOf(col("doc_id"), nBuckets))
-      flat.repartition(col("bucket"))
+      // Range repartitioning on (bucket, doc_id, offset) — the north rule's explicit
+      // layout: each output task covers a contiguous doc_id range (data files arrive
+      // sorted, so resume-time doc_id range predicates prune at file granularity),
+      // file sizes balance by sampled distribution, and the trailing `offset` key
+      // splits a pathological multi-page document across tasks instead of pinning
+      // its whole span set to one writer (the write-side form of salting).
+      flat.repartitionByRange(col("bucket"), col("doc_id"), col("offset"))
         .write.partitionBy("bucket").mode("overwrite").parquet(staging.toString)
 
       // -- step 3: verify + lineage by re-reading what was written ----------------
