@@ -43,10 +43,11 @@ object Similarity {
   def qvec(c: Column): Column =
     transform(c, x => floor(x.cast("double") * QuantScale).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors (left-fold, but exact so
-    * association is irrelevant). */
-  def doti(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  /** Exact integer dot product of two quantized vectors — the native codegen'd
+    * [[graft.functions.DotLong]] expression (the equivalent
+    * aggregate(zip_with(...)) form evaluates interpreted and dominated the pair
+    * queries; exactness makes the two interchangeable). */
+  def doti(a: Column, b: Column): Column = graft.functions.DotLong(a, b)
 
   /** floor(1e6·cos) from an integer dot and the two integer squared norms.
     * Associate exactly as the oracle SQL does: (1e6*dot) / (sqrt(n2a)*sqrt(n2b)). */
