@@ -56,21 +56,14 @@ object Dedup {
 
   /** MinHash signature bands: (doc_id, band, band_hash), 4 rows per doc.
     * Signature p = min over 3-gram shingles s of md5(p || '|' || s); band b hashes the
-    * concatenation of its BandWidth signatures. Entirely per-row Catalyst expressions. */
-  def minhashBands(docs: DataFrame): DataFrame = {
-    val sh = TextAnalysis.shingles(col("text"), ShingleN)
-    val mhs = (0 until NumPerms).map { p =>
-      array_min(transform(sh, s => md5(concat(lit(p.toString), lit("|"), s)))).as(s"mh$p")
-    }
-    val withSig = docs.select(col("doc_id") +: mhs: _*)
-    val bands = (0 until NumPerms / BandWidth).map { b =>
-      struct(lit(b).as("band"),
-        md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("band_hash"))
-    }
-    withSig
-      .select(col("doc_id"), explode(array(bands: _*)).as("bs"))
+    * concatenation of its BandWidth signatures. One native codegen'd pass per row
+    * ([[graft.functions.MinHashBandsExpr]]; the declarative array_min(transform(...))
+    * per permutation evaluated interpreted, a digest+closure per shingle per perm). */
+  def minhashBands(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(graft.functions.MinHashBandsExpr(col("text"))).as("bs"))
       .select(col("doc_id"), col("bs.band"), col("bs.band_hash"))
-  }
 
   /** LSH candidate pairs -> exact-Jaccard verification over distinct 3-gram shingle
     * sets; keeps pairs with jaccard >= 0.5. Output (doc_a, doc_b, jaccard_e6). */

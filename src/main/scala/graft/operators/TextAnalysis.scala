@@ -119,13 +119,11 @@ object TextAnalysis {
   }
 
   /** Rolling-hash document fingerprint: lexicographic-min md5 over 5-gram shingles
-    * (winnowing-lite; one deterministic representative per document). */
-  def fingerprint(documents: DataFrame): DataFrame = {
-    val sh = shingles(col("text"), 5)
-    documents.select(
-      col("doc_id"),
-      array_min(transform(sh, s => md5(s))).as("fp"),
-      size(sh).cast("long").as("n_shingles")
-    ).orderBy(col("doc_id"))
-  }
+    * (winnowing-lite; one deterministic representative per document). Native one-pass
+    * expression ([[graft.functions.FingerprintExpr]]). */
+  def fingerprint(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+        graft.functions.FingerprintExpr(col("text")).as("f"))
+      .select(col("doc_id"), col("f.fp").as("fp"), col("f.n_shingles").as("n_shingles"))
+      .orderBy(col("doc_id"))
 }
