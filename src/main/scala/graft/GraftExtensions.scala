@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BoilerplateExtract, SimHash32}
+import graft.functions.{BoilerplateExtract, DotLong, FingerprintExpr, MinHashBandsExpr, SimHash32}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -32,6 +32,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "simhash32(text) takes one argument")
         SimHash32(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("dot_long"),
+      new ExpressionInfo(classOf[DotLong].getName, "dot_long"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "dot_long(a, b) takes two array<bigint> arguments")
+        DotLong(args.head, args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBandsExpr].getName, "minhash_bands"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "minhash_bands(text) takes one argument")
+        MinHashBandsExpr(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("doc_fingerprint"),
+      new ExpressionInfo(classOf[FingerprintExpr].getName, "doc_fingerprint"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "doc_fingerprint(text) takes one argument")
+        FingerprintExpr(args.head)
       }))
   }
 }

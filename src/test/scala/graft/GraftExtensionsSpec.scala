@@ -30,6 +30,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(r.getString(1) === "") // link farm -> boilerplate -> empty, never null
       assert(r.getLong(2) === graft.functions.SimHashImpl.simhash32(
         org.apache.spark.unsafe.types.UTF8String.fromString("hello world")))
+      val r2 = spark.sql(
+        """SELECT dot_long(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d,
+          |       size(minhash_bands('a b c d e')) AS nb,
+          |       doc_fingerprint('a b c d e f').n_shingles AS ns""".stripMargin)
+        .collect()(0)
+      assert(r2.getLong(0) === 32L)
+      assert(r2.getInt(1) === 4)
+      assert(r2.getLong(2) === 2L)
     } finally {
       // leave the shared SparkContext running; just detach this session
       SparkSession.clearActiveSession()
