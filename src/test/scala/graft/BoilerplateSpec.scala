@@ -52,6 +52,36 @@ class BoilerplateSpec extends AnyFunSuite {
     assert(mismatches === 0L)
   }
 
+  test("fuzz: native == declarative on 2000 random tag-soup strings") {
+    // adversarial alphabet: every char the scanner branches on
+    val alphabet = "<>ap/ x\"='u".toCharArray
+    val rnd = new scala.util.Random(20260817L)
+    val soup = (1 to 2000).map { _ =>
+      val n = rnd.nextInt(48)
+      val sb = new StringBuilder
+      (0 until n).foreach { _ =>
+        // bias toward structural fragments so real tags appear often
+        rnd.nextInt(6) match {
+          case 0 => sb.append("<a ")
+          case 1 => sb.append("</a>")
+          case 2 => sb.append("<p>")
+          case 3 => sb.append("</p>")
+          case _ => sb.append(alphabet(rnd.nextInt(alphabet.length)))
+        }
+      }
+      sb.toString
+    }
+    import spark.implicits._
+    val mismatches = soup.toDF("raw").select(
+        col("raw"),
+        TextClassifier.classify(col("raw")).as("native"),
+        TextClassifier.classifyDeclarative(col("raw")).as("declarative"))
+      .filter(not(col("native") <=> col("declarative")))
+      .collect()
+    assert(mismatches.isEmpty,
+      mismatches.take(5).map(r => s"[${r.getString(0)}] native=[${r.getString(1)}] decl=[${r.getString(2)}]").mkString("\n"))
+  }
+
   test("expression participates in codegen (no fallback to interpreted projection)") {
     val plan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(TextClassifier.classify(col("text")).as("c"))
