@@ -30,7 +30,8 @@ object Bench {
     // flagship throughput: full extraction over the materialized corpus table
     // (warmup run pays JIT + table materialization; timed run measures the engine)
     val replicate = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICATE", "768").toInt
-    val nDocs = Scaling.runOnce(spark, sfDir, replicate)
+    Scaling.runOnce(spark, sfDir, replicate) // warmup + corpus materialization
+    val nDocs = Scaling.corpusDocs(spark, sfDir, replicate) // measured, not assumed
     val flagshipSecs = (1 to 2).map { _ =>
       val t0 = System.nanoTime()
       Scaling.runOnce(spark, sfDir, replicate)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BoilerplateExtract, DotLong, FingerprintExpr, MinHashBandsExpr, SimHash32}
+import graft.functions.{BoilerplateExtract, DotLong, FingerprintExpr, MinHashBandsExpr, SimHash64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
  * Session-extension entry point registering the engine's native Catalyst expressions as
  * SQL functions — attach with
  * `spark.sql.extensions=graft.GraftExtensions`
- * and `SELECT boilerplate_extract(markup)`, `SELECT simhash32(text)` work from plain
+ * and `SELECT boilerplate_extract(markup)`, `SELECT simhash64(text)` work from plain
  * SQL (and from any SQL-speaking client), with full whole-stage codegen.
  *
  * This is the (c)-tier extension mechanism of the build rules (custom Expression
@@ -27,11 +27,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BoilerplateExtract(args.head)
       }))
     ext.injectFunction((
-      FunctionIdentifier("simhash32"),
-      new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (args: Seq[Expression]) => {
-        require(args.length == 1, "simhash32(text) takes one argument")
-        SimHash32(args.head)
+        require(args.length == 1, "simhash64(text) takes one argument")
+        SimHash64(args.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("dot_long"),

@@ -22,7 +22,7 @@ import org.apache.spark.sql.SparkSession
  */
 object Scaling {
 
-  def runOnce(spark: SparkSession, sfDir: String, replicate: Int): Long = {
+  def runOnce(spark: SparkSession, sfDir: String, replicate: Int): Unit = {
     // input = materialized corpus TABLE (the production contract is a table scan;
     // synthesizing inline would re-evaluate the synthesis expression per consumer
     // and measure corpus generation, not extraction)
@@ -30,8 +30,13 @@ object Scaling {
     val flat = ExtractPipeline.extractFlat(input)
     val docs = ExtractPipeline.reassemble(flat)
     docs.write.format("noop").mode("overwrite").save()
-    500L * replicate // documents.parquet is 500 rows at every sf (TESTDATA.md)
   }
+
+  /** MEASURED document count of the corpus a run processes — parquet metadata-only
+    * count (row-group stats), never a hard-coded rows-per-sf assumption. Called outside
+    * the timed region. */
+  def corpusDocs(spark: SparkSession, sfDir: String, replicate: Int): Long =
+    Interleave.materializedDocs(spark, sfDir, replicate).count()
 
   private def session(cpus: Int): SparkSession = {
     SparkSession.clearActiveSession()
@@ -138,48 +143,62 @@ object Scaling {
     // warmup precedes it).
     val times = scala.collection.mutable.Map(lo -> List.empty[Double],
       hi -> List.empty[Double])
+    var nDocs = 0L
     (0 until reps).foreach { cycle =>
       Seq(lo, hi).foreach { cpus =>
         val spark = session(cpus)
-        if (cycle == 0) runOnce(spark, sfDir, replicate) // warmup
+        if (cycle == 0) {
+          runOnce(spark, sfDir, replicate) // warmup (also materializes the corpus)
+          if (nDocs == 0L) nDocs = corpusDocs(spark, sfDir, replicate) // measured, not assumed
+        }
         val t0 = System.nanoTime()
         runOnce(spark, sfDir, replicate)
         times(cpus) ::= (System.nanoTime() - t0) / 1e9
         spark.stop()
       }
     }
-    val nDocs = 500L * replicate
 
     // The sandbox host's load varies on a minutes scale; a single invocation can land
-    // in a bad window. Every invocation appends its per-level best to
-    // scaling_runs.jsonl and the report takes the per-level minimum across ALL logged
-    // runs of this input size — the same best-of semantics as the in-run reps, just
-    // extended across invocations, with every sample kept on record.
+    // in a bad window. Every invocation appends its per-level best (from ITS OWN
+    // interleaved cycles) to scaling_runs.jsonl. The headline efficiency is the
+    // MEDIAN of per-invocation PAIRED ratios — each ratio compares a lo and hi time
+    // measured in the same invocation under the same host-load window — never a
+    // cross-invocation mix of minima (that would report an efficiency no actual run
+    // achieved). Per-level minima are reported separately as best-observed throughput.
+    // "v":2 marks runs after the doc_id-width fix; earlier lines measured a degenerate
+    // job (collapsed doc_ids) and are excluded.
     Files.createDirectories(Paths.get("BENCH"))
     val runsLog = Paths.get("BENCH/scaling_runs.jsonl")
     val runLine =
-      s"""{"secs_lo":${times(lo).min},"secs_hi":${times(hi).min},"docs":$nDocs,""" +
+      s"""{"v":2,"secs_lo":${times(lo).min},"secs_hi":${times(hi).min},"docs":$nDocs,""" +
         s""""cpu_scale":$hwScale,"mem_scale":$memScale}"""
     Files.writeString(runsLog, runLine + "\n",
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     def field(l: String, k: String) = l.split(s""""$k":""")(1).split("[,}]")(0).toDouble
     val allRuns = Files.readAllLines(runsLog).toArray.toSeq.map(_.toString)
+      .filter(_.startsWith("""{"v":2,"""))
       .filter(_.contains(s""""docs":$nDocs,"""))
     val nRuns = allRuns.size
+    val pairedEffs = allRuns
+      .map(l => (field(l, "secs_lo") / field(l, "secs_hi")) / (hi.toDouble / lo))
+      .sorted
+    val eff = pairedEffs(nRuns / 2) // median of per-invocation paired efficiencies
     val tLo = allRuns.map(field(_, "secs_lo")).min
     val tHi = allRuns.map(field(_, "secs_hi")).min
     val tputLo = nDocs / tLo
     val tputHi = nDocs / tHi
-    val eff = tputHi / (tputLo * (hi.toDouble / lo))
-    val effHw = (tputHi / tputLo) / hwScale
+    val effHw = eff * 4.0 / hwScale
+    val gateMet = eff >= 0.8
 
     println(
       s"""{"metric":"scaling_efficiency","value":$eff,"unit":"ratio",""" +
+        s""""gate_0_8_met_as_measured":$gateMet,"paired_runs":$nRuns,""" +
         s""""docs":$nDocs,"sf":"$sfDir","cpu_ceiling":${hwScale / 4.0},""" +
         s""""mem_bw_ceiling":${memScale / 4.0},"efficiency_vs_cpu_hw":$effHw,""" +
         s""""cpus_lo":$lo,"secs_lo":$tLo,"docs_per_sec_lo":$tputLo,""" +
         s""""cpus_hi":$hi,"secs_hi":$tHi,"docs_per_sec_hi":$tputHi}""")
 
+    val gateWord = if (gateMet) "MET" else "NOT met"
     val md =
       s"""# BENCH / BASELINE — measured scaling evidence
          |
@@ -188,37 +207,47 @@ object Scaling {
          |synthesis -> posexplode -> OCR island (mapPartitions engine pool) + Catalyst
          |text classifier -> unionByName -> skew-routed re-assembly (sorted-group path +
          |salted agg for the heavy tail) -> noop sink.
-         |Input: $sfDir documents x $replicate deterministic replicas = $nDocs docs.
-         |Per-level best across $nRuns logged invocation(s) x $reps interleaved timed
-         |runs each, after a full-size warmup per level (all samples:
-         |BENCH/scaling_runs.jsonl; the shared hypervisor's load varies minute-to-minute,
-         |so best-of filters host noise, not engine variance).
+         |Input: $sfDir documents x $replicate deterministic replicas = $nDocs docs
+         |(count MEASURED from the materialized corpus, not assumed).
+         |
+         |## Headline: paired scaling efficiency
+         |
+         |**Efficiency N -> 4N = median over $nRuns invocation(s) of
+         |(best secs_lo / best secs_hi) / 4, both times from the SAME invocation's
+         |interleaved cycles = ${f"$eff%.3f"}.**
+         |
+         |**North-rule gate (>= 0.8 between two cluster sizes): $gateWord as measured
+         |on this single shared-memory VM.** No cross-invocation mixing: each ratio
+         |pairs a lo and hi time measured minutes apart under the same host load
+         |(all samples: BENCH/scaling_runs.jsonl, "v":2 lines).
+         |
+         |## Best-observed throughput (context, per-level minima across all runs)
          |
          || Level | Config | Wall time (s) | Throughput (docs/sec) |
          ||---|---|---|---|
          || N | local[$lo], shuffle.partitions=$lo | ${f"$tLo%.2f"} | ${f"$tputLo%.0f"} |
          || 4N | local[$hi], shuffle.partitions=$hi | ${f"$tHi%.2f"} | ${f"$tputHi%.0f"} |
          |
-         |**Scaling efficiency N -> 4N = tput(4N) / (4 x tput(N)) = ${f"$eff%.3f"}**
-         |(north-rule requirement: >= 0.8 between two CLUSTER sizes).
+         |These minima may come from different invocations — they bound single-level
+         |throughput, they are NOT the efficiency evidence.
          |
-         |Hardware calibration (same JVM, measured alongside the job):
+         |## Hardware-ceiling calibration (context only, NOT a substitute for the gate)
          |
          || Resource | 8 -> 32-thread scaling on this VM | ceiling vs linear 4x |
          ||---|---|---|
          || pure-CPU (register-only burn) | ${f"${hwScale}%.2f"}x | ${f"${hwScale / 4.0}%.3f"} |
          || DRAM bandwidth (32 MiB/thread stream) | ${f"${memScale}%.2f"}x | ${f"${memScale / 4.0}%.3f"} |
          |
-         |A text-extraction pipeline is a string/row workload — its true ceiling sits
-         |between the two rows above (nearer the bandwidth row), because a single
-         |shared-memory VM does not add DRAM channels with thread count. Against the
-         |pure-CPU ceiling the pipeline reaches **${f"$effHw%.3f"}** of achievable;
-         |against the bandwidth ceiling **${f"${(tputHi / tputLo) / memScale}%.3f"}**.
-         |On a real 4x-executor cluster each executor brings its own memory channels,
-         |GC headroom, and page cache — the regime the north rule's >= 0.8 refers to;
-         |the per-stage design (no shuffle in the narrow phase, one shuffle for normal
-         |docs, salted agg for the tail, broadcast-only dimensions) has no serial
-         |bottleneck that would cap it there.
+         |A text-extraction pipeline is a string/row workload; a single shared-memory VM
+         |does not add DRAM channels with thread count, so its achievable 8->32 scaling
+         |sits between the two rows above. Against the pure-CPU ceiling the pipeline's
+         |paired efficiency corresponds to **${f"$effHw%.3f"}** of achievable. This
+         |explains WHY the VM number lands where it does; it does not convert a
+         |below-0.8 measurement into a pass. On a real 4x-executor cluster each executor
+         |brings its own memory channels, GC headroom, and page cache — the regime the
+         |north rule's >= 0.8 refers to; the per-stage design (no shuffle in the narrow
+         |phase, one shuffle for normal docs, salted agg for the tail, broadcast-only
+         |dimensions) has no serial bottleneck.
          |
          |Regenerate: `SPARK_GRAFT_SF_DIR=$sfDir sbt -batch "runMain graft.Scaling"`.
          |""".stripMargin

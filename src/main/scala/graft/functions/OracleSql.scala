@@ -32,7 +32,7 @@ object OracleSql {
        |  SELECT doc_id AS d, text, lang, source, n_chars,
        |         2 + doc_id % 3 AS kt,
        |         1 + doc_id % 4 + CASE WHEN doc_id % 37 = 0 THEN 24 ELSE 0 END AS km,
-       |         'doc-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS doc_id_s,
+       |         'doc-' || lpad(CAST(doc_id AS VARCHAR), 13, '0') AS doc_id_s,
        |         GREATEST(1, CAST(floor(n_chars / (2 + doc_id % 3)) AS BIGINT)) AS cl
        |  FROM documents
        |),

@@ -3,7 +3,7 @@ package graft.functions
 /**
  * DuckDB oracle mirrors for the dedup / text-analysis operator family
  * ([[graft.operators.Dedup]], [[graft.operators.TextAnalysis]],
- * [[graft.functions.SimHash32]]). Same parity rules as [[OracleSql]].
+ * [[graft.functions.SimHash64]]). Same parity rules as [[OracleSql]].
  */
 object OracleSqlDedup {
 
@@ -143,17 +143,22 @@ object OracleSqlDedup {
        |WHERE CAST(floor(1000000.0 * i.ni / (na.n + nb.n - i.ni)) AS BIGINT) >= 500000
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** 32 per-bit weight sums + recombination — mirror of SimHashImpl.simhash32. */
+  /** 64 per-bit weight sums + recombination — mirror of SimHashImpl.simhash64.
+    * Bit k = bit (3 - k%4) of hex digit k/4 of md5(token); recombination goes through
+    * HUGEINT (`utotal`, the unsigned value) because bit 63 overflows a signed BIGINT
+    * sum — the signed `simhash` is utotal wrapped to two's complement, matching the
+    * JVM's `1L << 63`. `utotal` is also what block bucketing divides, so no signed
+    * shift arithmetic is ever mirrored. */
   private val simhashCtes: String = {
-    val digits = (0 until 8).map(j =>
+    val digits = (0 until 16).map(j =>
       s"instr('0123456789abcdef', substr(h, ${j + 1}, 1)) - 1 AS d$j").mkString(",\n         ")
-    val sums = (0 until 32).map { k =>
+    val sums = (0 until 64).map { k =>
       val j = k / 4
       val e = 3 - k % 4
       s"SUM(CAST(floor(d$j / power(2, $e)) AS BIGINT) % 2 * 2 - 1) AS s$k"
     }.mkString(",\n         ")
-    val recomb = (0 until 32)
-      .map(k => s"CASE WHEN s$k >= 0 THEN CAST(${1L << k} AS BIGINT) ELSE 0 END")
+    val recomb = (0 until 64)
+      .map(k => s"CASE WHEN s$k >= 0 THEN CAST('${BigInt(1) << k}' AS HUGEINT) ELSE CAST('0' AS HUGEINT) END")
       .mkString(" + ")
     s"""WITH $mutantCorpusCte,
        |tokh AS (
@@ -170,25 +175,37 @@ object OracleSqlDedup {
        |  FROM dig GROUP BY doc_id
        |),
        |sp AS (
-       |  SELECT doc_id, CAST($recomb AS BIGINT) AS simhash FROM bitsums
+       |  SELECT doc_id, ($recomb) AS utotal FROM bitsums
+       |),
+       |sps AS (
+       |  SELECT doc_id, utotal,
+       |         CAST(utotal - CASE WHEN utotal >= CAST('9223372036854775808' AS HUGEINT)
+       |                            THEN CAST('18446744073709551616' AS HUGEINT)
+       |                            ELSE CAST('0' AS HUGEINT) END AS BIGINT) AS simhash
+       |  FROM sp
        |)""".stripMargin
   }
 
   val simhash: String =
     s"""$simhashCtes
-       |SELECT doc_id, simhash FROM sp ORDER BY doc_id""".stripMargin
+       |SELECT doc_id, simhash FROM sps ORDER BY doc_id""".stripMargin
 
   val simhashPairs: String =
     s"""$simhashCtes,
        |bk AS (
-       |  SELECT doc_id, simhash, b.b AS byte_idx,
-       |         CAST(floor(simhash / power(2, 8 * b.b)) AS BIGINT) % 256 AS byte_val
-       |  FROM sp, UNNEST([0, 1, 2, 3]) AS b(b)
+       |  SELECT doc_id, simhash, b.b AS block_idx,
+       |         CAST((utotal // CASE b.b
+       |                 WHEN 0 THEN CAST('1' AS HUGEINT)
+       |                 WHEN 1 THEN CAST('${BigInt(65536)}' AS HUGEINT)
+       |                 WHEN 2 THEN CAST('${BigInt(65536).pow(2)}' AS HUGEINT)
+       |                 ELSE CAST('${BigInt(65536).pow(3)}' AS HUGEINT) END) % 65536
+       |              AS BIGINT) AS block_val
+       |  FROM sps, UNNEST([0, 1, 2, 3]) AS b(b)
        |),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sa, b.doc_id AS doc_b, b.simhash AS sb
        |  FROM bk a JOIN bk b
-       |    ON a.byte_idx = b.byte_idx AND a.byte_val = b.byte_val AND a.doc_id < b.doc_id
+       |    ON a.block_idx = b.block_idx AND a.block_val = b.block_val AND a.doc_id < b.doc_id
        |)
        |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
        |FROM pairs

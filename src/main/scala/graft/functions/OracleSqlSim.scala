@@ -66,15 +66,20 @@ object OracleSqlSim {
        |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS "rank", cos_e6
        |FROM ranked WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
 
+  /** Per-band bucket keys from the SAME seeded hyperplane matrix the Spark operator
+    * uses ([[LshPlanes]] embeds it here as ±1 literal lists): one UNION ALL branch per
+    * band, each key an exact integer sign-bit sum. */
+  private val lshBandsSql: String =
+    (0 until LshPlanes.Bands).map { b =>
+      s"""  SELECT vec_id, q, n2, $b AS band,
+         |         ${LshPlanes.keySql(b, "q")} AS key
+         |  FROM vn""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+
   val annLshPairs: String =
     s"""$mutantCtes,
        |bands AS (
-       |  SELECT vec_id, q, n2, b.b AS band,
-       |         (CASE WHEN q[4 * b.b + 1] >= 0 THEN 1 ELSE 0 END
-       |        + CASE WHEN q[4 * b.b + 2] >= 0 THEN 2 ELSE 0 END
-       |        + CASE WHEN q[4 * b.b + 3] >= 0 THEN 4 ELSE 0 END
-       |        + CASE WHEN q[4 * b.b + 4] >= 0 THEN 8 ELSE 0 END) AS key
-       |  FROM vn, UNNEST(generate_series(0, 3)) AS b(b)
+       |$lshBandsSql
        |),
        |pairs AS (
        |  SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b,

@@ -103,7 +103,7 @@ object DeterministicOcrEngine {
   private[operators] val HexChars = "0123456789abcdef".toCharArray
 
   /** One digest instance per thread — getInstance per word costs ~3x. */
-  private[operators] val threadMd5: ThreadLocal[MessageDigest] =
+  private[graft] val threadMd5: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
   def md5Bytes(s: String): Array[Byte] =

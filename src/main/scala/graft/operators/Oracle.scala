@@ -75,6 +75,6 @@ object Oracle {
       val ref = if (docId % 41 == 0 && j == 0) s"missing-$docId" else s"m-$docId-$j"
       Span("image", null, ref, j * 2 + 1)
     }
-    Doc(f"doc-$docId%06d", lang, tspans ++ mspans)
+    Doc(f"doc-$docId%013d", lang, tspans ++ mspans)
   }
 }

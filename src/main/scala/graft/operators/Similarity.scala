@@ -90,15 +90,22 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Banded sign-LSH signature: 16 sign bits of the first 16 quantized coordinates,
-    * 4 bands × 4 bits, as array<struct<band:int, key:int>>. Coordinate hyperplanes are
-    * a valid (axis-aligned) LSH family for cosine; near-identical vectors collide on
-    * every band except coordinates straddling zero. */
+  /** Banded sign-LSH signature: [[graft.functions.LshPlanes]] seeded random-hyperplane
+    * family — 4 bands × 16 sign bits each, as array<struct<band:int, key:int>>. Each
+    * bit is the sign of an exact integer dot product against a deterministic ±1
+    * hyperplane (native codegen'd [[graft.functions.DotLong]] with a literal weight
+    * array), so the band key space is 2^16 and expected bucket occupancy is N/65,536 —
+    * the O(1)-occupancy scheme that keeps the candidate self-join near-linear at
+    * 10^9+ vectors (replaces the round-1 4-bit coordinate keys whose 16 buckets/band
+    * degenerated to ~N^2/8 candidates). */
   private def signBands(q: Column): Column = {
-    def bit(j: Int): Column = when(element_at(q, j + 1) >= 0, 1 << (j % 4)).otherwise(0)
-    val bands = (0 until 4).map { b =>
-      struct(lit(b).as("band"),
-        (bit(4 * b) + bit(4 * b + 1) + bit(4 * b + 2) + bit(4 * b + 3)).as("key"))
+    import graft.functions.LshPlanes
+    val bands = (0 until LshPlanes.Bands).map { b =>
+      val key = (0 until LshPlanes.Bits).map { j =>
+        val w = typedLit(LshPlanes.planes(b * LshPlanes.Bits + j).toSeq)
+        when(graft.functions.DotLong(q, w) >= 0, lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), key.as("key"))
     }
     array(bands: _*)
   }

@@ -28,8 +28,27 @@ final class TopKAgg(k: Int) extends Aggregator[TopKItem, TopKList, TopKList] {
   private def best(items: Seq[TopKItem]): Seq[TopKItem] =
     items.sortBy(i => (-i.cos_e6, i.id)).take(k)
 
+  /** (a better-than b) under the total order (cos_e6 DESC, id ASC). */
+  private def beats(a: TopKItem, b: TopKItem): Boolean =
+    a.cos_e6 > b.cos_e6 || (a.cos_e6 == b.cos_e6 && a.id < b.id)
+
   def zero: TopKList = TopKList(Seq.empty)
-  def reduce(b: TopKList, in: TopKItem): TopKList = TopKList(best(b.items :+ in))
+
+  /** Bounded insertion, not a re-sort: the buffer is kept sorted best-first, so the
+    * overwhelmingly common case at scale — a candidate worse than the current k-th of
+    * a full buffer — is one comparison and zero allocation. Displacing inserts splice
+    * at the insertion point (O(k) copy, no sort). */
+  def reduce(b: TopKList, in: TopKItem): TopKList = {
+    val items = b.items
+    if (items.size >= k && !beats(in, items.last)) return b
+    val at = items.indexWhere(cur => beats(in, cur)) match {
+      case -1 => items.size
+      case i => i
+    }
+    val grown = (items.take(at) :+ in) ++ items.drop(at)
+    TopKList(if (grown.size > k) grown.take(k) else grown)
+  }
+
   def merge(a: TopKList, b: TopKList): TopKList = TopKList(best(a.items ++ b.items))
   def finish(b: TopKList): TopKList = b
 

@@ -124,17 +124,70 @@ object Interleave {
    * (sfDir, replicate) under java.io.tmpdir; subsequent calls just scan.
    */
   def materializedDocs(spark: SparkSession, sfDir: String, replicate: Int = 1): DataFrame = {
-    val tag = (sfDir + "#" + replicate).hashCode.toHexString
-    val path = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft-corpus-$tag")
-    if (!java.nio.file.Files.exists(path.resolve("_SUCCESS")))
-      docs(spark, sfDir, replicate).write.mode("overwrite").parquet(path.toString)
+    // Cache key = full escaped path + replicate + a content fingerprint of the source
+    // parquet (sizes + mtimes). A stale or colliding cache would silently serve the
+    // wrong corpus to every bench number downstream, so the key is collision-proof by
+    // construction (no bare hashCode) and invalidates when the source changes.
+    val srcFp = sourceFingerprint(java.nio.file.Paths.get(sfDir, "documents.parquet"))
+    val tag = (sfDir.replaceAll("[^A-Za-z0-9._-]", "_") + "-r" + replicate
+      + "-" + srcFp).takeRight(120)
+    val path = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), s"graft-corpus-$tag")
+    if (!java.nio.file.Files.exists(path.resolve("_SUCCESS"))) {
+      // write to a temp sibling, then atomic-rename into place: concurrent first
+      // callers race to the rename, never to a half-written directory.
+      val tmp = java.nio.file.Files.createTempDirectory(
+        path.getParent, s"graft-corpus-$tag.")
+      docs(spark, sfDir, replicate).write.mode("overwrite").parquet(tmp.toString)
+      try java.nio.file.Files.move(tmp, path,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException
+            | _: java.nio.file.AccessDeniedException
+            | _: java.nio.file.DirectoryNotEmptyException =>
+          // another caller won the race; use theirs
+          graft.sources.SnapshotSink.deleteRecursively(tmp)
+      }
+    }
     spark.read.parquet(path.toString)
   }
 
-  /** 'doc-000042' — lexicographic order == numeric order, so range partitioning and
-    * resume pruning on the string key behave like on the numeric key. */
-  def docIdStr(d: Column): Column = concat(lit("doc-"), lpad(d.cast("string"), 6, "0"))
+  /** Cheap content fingerprint of a parquet file/dir: md5 over (name, size, mtime)
+    * of every regular file under it — metadata-only, no byte reads. */
+  private def sourceFingerprint(p: java.nio.file.Path): String = {
+    import scala.jdk.CollectionConverters._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val files =
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq
+          .filter(java.nio.file.Files.isRegularFile(_)).sortBy(_.toString)
+      else Seq(p)
+    files.foreach { f =>
+      md.update(f.toString.getBytes("UTF-8"))
+      md.update(java.nio.file.Files.size(f).toString.getBytes("UTF-8"))
+      md.update(java.nio.file.Files.getLastModifiedTime(f).toMillis.toString
+        .getBytes("UTF-8"))
+    }
+    md.digest().map(b => f"${b & 0xff}%02x").mkString.take(16)
+  }
+
+  /** Fixed width of the numeric part of a doc_id: 13 digits covers the 10^12-document
+    * id space of the north rule AND every replicated bench id (replica stride 10^7 x
+    * replicate <= 10^4 => max id < 10^12). Width matters because `lpad` TRUNCATES
+    * longer inputs — a narrower pad silently collapses distinct ids onto one string. */
+  val DocIdDigits = 13
+
+  /** 'doc-0000000000042' — fixed 13-digit pad, so lexicographic order == numeric order
+    * and range partitioning / resume pruning on the string key behave like on the
+    * numeric key. Guarded against lpad truncation: any id wider than [[DocIdDigits]]
+    * digits would silently collide, so it is rejected at synthesis time. */
+  def docIdStr(d: Column): Column = {
+    val s = d.cast("string")
+    val padded = lpad(s, DocIdDigits, "0")
+    // assert_true returns NULL on pass; raises on an id that would truncate.
+    val guarded = when(length(s) <= DocIdDigits, padded)
+      .otherwise(raise_error(concat(lit("doc_id exceeds DocIdDigits: "), s)))
+    concat(lit("doc-"), guarded)
+  }
 
   /** Exploded (flat) form: doc_id, lang, kind, text, media_ref, offset. */
   def spansFlat(spark: SparkSession, sfDir: String, replicate: Int = 1): DataFrame =

@@ -31,14 +31,28 @@ object LanguagePack {
 
   val BlockSize: Int = 16 * 1024
 
+  /** Progress observer: (bytesSoFar, totalBytesIfKnown). The reference prints
+    * "Downloaded x of y" every 0.5 s during transfer (languages.py:154-166); a
+    * multi-GB pack transfer with no observability hook is the first thing a real
+    * user hits, so the engine surfaces the same signal as a callback. */
+  type ProgressFn = (Long, Option[Long]) => Unit
+
+  /** Mirror of the reference's 0.5 s reporting cadence (languages.py:154). */
+  val ProgressIntervalMs: Long = 500L
+
   /** Transfer `source` (a stream factory) to `destination/baseName` with the
     * reference's idempotency + verify + atomic-rename protocol. Returns the final
-    * path. */
+    * path. `onProgress` fires at most every `progressIntervalMs` (0 = every block,
+    * for deterministic tests) plus once at completion, with the running byte count
+    * and the caller-declared total if known — languages.py:154-166 step for step. */
   def install(
       source: () => InputStream,
       destination: String,
       baseName: String,
-      md5Hash: Option[String] = None): Path = {
+      md5Hash: Option[String] = None,
+      onProgress: ProgressFn = (_, _) => (),
+      totalBytes: Option[Long] = None,
+      progressIntervalMs: Long = ProgressIntervalMs): Path = {
     val destDir = Paths.get(destination)
     Files.createDirectories(destDir)
     val destFile = destDir.resolve(baseName)
@@ -57,12 +71,22 @@ object LanguagePack {
         val out = new FileOutputStream(temp.toFile)
         try {
           val buf = new Array[Byte](BlockSize)
+          var total = 0L
+          var lastReport = System.nanoTime()
           var n = in.read(buf)
           while (n > 0) {
             out.write(buf, 0, n)
             md.update(buf, 0, n)
+            total += n
+            // languages.py:154-166 — report at the configured cadence mid-transfer
+            val now = System.nanoTime()
+            if ((now - lastReport) / 1000000L >= progressIntervalMs) {
+              onProgress(total, totalBytes)
+              lastReport = now
+            }
             n = in.read(buf)
           }
+          onProgress(total, totalBytes) // final report: transfer complete
         } finally out.close()
       } finally in.close()
 

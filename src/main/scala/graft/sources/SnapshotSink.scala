@@ -69,9 +69,11 @@ object SnapshotSink {
       invalidated: Seq[Int],
       totalRows: Long)
 
-  /** Deterministic bucket assignment from the doc_id's numeric suffix ('doc-000042'). */
+  /** Deterministic bucket assignment from the doc_id's numeric suffix
+    * ('doc-0000000000042' — 13 digits, [[graft.sources.Interleave.DocIdDigits]]). */
   def bucketOf(docId: Column, nBuckets: Int): Column =
-    pmod(substring(docId, 5, 10).cast("long"), lit(nBuckets)).cast("int")
+    pmod(substring(docId, 5, Interleave.DocIdDigits).cast("long"), lit(nBuckets))
+      .cast("int")
 
   /** Injected-crash hook for the kill/resume test; mirrors the reference's
     * download-interruption handling (languages.py:176-178). */

@@ -59,7 +59,7 @@ object StreamingExtract {
       .withColumn("event_ts",
         timestamp_seconds(
           unix_timestamp(to_timestamp(lit("2026-01-01 00:00:00")))
-            + substring(col("doc_id"), 5, 10).cast("long")))
+            + substring(col("doc_id"), 5, graft.sources.Interleave.DocIdDigits).cast("long")))
     flat
       .withWatermark("event_ts", "120 seconds")
       .groupBy(window(col("event_ts"), "60 seconds"), col("lang"))

@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** The session extension makes the native expressions SQL-callable: a session built
   * with spark.sql.extensions=graft.GraftExtensions resolves boilerplate_extract and
-  * simhash32 in plain SQL, matching the Column-API results. */
+  * simhash64 in plain SQL, matching the Column-API results. */
 class GraftExtensionsSpec extends AnyFunSuite {
 
   test("native expressions resolve and evaluate from plain SQL") {
@@ -25,10 +25,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val r = spark.sql(
         """SELECT boilerplate_extract('<nav>m</nav><p>hello</p><a href="u">x</a>') AS c,
           |       boilerplate_extract('<ul><a href="u">all link</a></ul>') AS b,
-          |       simhash32('hello world') AS h""".stripMargin).collect()(0)
+          |       simhash64('hello world') AS h""".stripMargin).collect()(0)
       assert(r.getString(0) === "hello")
       assert(r.getString(1) === "") // link farm -> boilerplate -> empty, never null
-      assert(r.getLong(2) === graft.functions.SimHashImpl.simhash32(
+      assert(r.getLong(2) === graft.functions.SimHashImpl.simhash64(
         org.apache.spark.unsafe.types.UTF8String.fromString("hello world")))
       val r2 = spark.sql(
         """SELECT dot_long(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d,

@@ -45,6 +45,29 @@ class LanguagePackSpec extends AnyFunSuite {
       .map(_.getFileName.toString).toSeq === Seq("eng.traineddata"))
   }
 
+  test("progress callback fires per block on a multi-block transfer (languages.py:154-166)") {
+    val dest = tmp("progress")
+    val calls = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Long])]
+    LanguagePack.install(() => src(), dest, "eng.traineddata", Some(goodMd5),
+      onProgress = (done, total) => calls += ((done, total)),
+      totalBytes = Some(payload.length.toLong),
+      progressIntervalMs = 0L) // every block, deterministic
+    // payload spans ceil(66000/16384) = 5 blocks -> 5 mid-transfer reports + 1 final
+    val expectedBlocks = (payload.length + LanguagePack.BlockSize - 1) / LanguagePack.BlockSize
+    assert(calls.size === expectedBlocks + 1)
+    assert(calls.map(_._1).toSeq === calls.map(_._1).toSeq.sorted, "byte counts regressed")
+    assert(calls.last._1 === payload.length.toLong)
+    assert(calls.forall(_._2.contains(payload.length.toLong)),
+      "declared total must flow through to the observer (the 'x of y' in the reference)")
+
+    // default cadence (500 ms) on an instant in-memory transfer: only the final report
+    val dest2 = tmp("progress2")
+    var n = 0
+    LanguagePack.install(() => src(), dest2, "eng.traineddata", Some(goodMd5),
+      onProgress = (_, _) => n += 1)
+    assert(n === 1, "throttled cadence must not spam per block")
+  }
+
   test("hash mismatch => IOException('File does not match expected hash'), temp removed") {
     val dest = tmp("badhash")
     val ex = intercept[java.io.IOException] {

@@ -60,11 +60,12 @@ class SimilaritySpec extends AnyFunSuite {
     val lsh = pairSet(Similarity.annLshPairs(widened))
     assert(lsh.subsetOf(exact)) // verification step guarantees precision 1.0
     assert(lsh.nonEmpty)
-    // every injected mutant pair (id, id+100000) whose signs agree must be found
+    // recall 1.0 vs the exact all-pairs baseline (VERDICT r1 done-criterion for the
+    // seeded hyperplane family): every qualifying pair collides on >= 1 band
+    assert(lsh === exact, s"LSH missed ${(exact -- lsh).take(5)}")
     val mutantPairs = exact.filter { case (a, b) => b == a + 100000 }
     assert(mutantPairs.nonEmpty)
-    val recall = lsh.intersect(mutantPairs).size.toDouble / mutantPairs.size
-    assert(recall >= 0.9, s"LSH mutant recall $recall")
+    assert(mutantPairs.subsetOf(lsh), "full recall on injected mutants")
   }
 
   test("ivf_topk: neighbors come from probed cells and ranks are consistent") {

@@ -32,8 +32,8 @@ class StreamingExtractSpec extends AnyFunSuite {
 
     // batch 1: first half of the corpus arrives
     val docs = Interleave.docs(spark, sfDir)
-    val half1 = docs.filter(substring(col("doc_id"), 5, 10).cast("long") < 250)
-    val half2 = docs.filter(substring(col("doc_id"), 5, 10).cast("long") >= 250)
+    val half1 = docs.filter(substring(col("doc_id"), 5, graft.sources.Interleave.DocIdDigits).cast("long") < 250)
+    val half2 = docs.filter(substring(col("doc_id"), 5, graft.sources.Interleave.DocIdDigits).cast("long") >= 250)
     half1.write.mode("append").parquet(table)
     StreamingExtract.drainOnce(spark, table, out, ckpt)
     val afterFirst = spark.read.parquet(out).count()
@@ -62,7 +62,7 @@ class StreamingExtractSpec extends AnyFunSuite {
     // batch mirror of the same window arithmetic; AvailableNow finalizes every window
     // whose end precedes max(event_ts) - watermark, so expect that subset
     val flat = ExtractPipeline.extractFlat(Interleave.docs(spark, sfDir))
-      .withColumn("sec", substring(col("doc_id"), 5, 10).cast("long"))
+      .withColumn("sec", substring(col("doc_id"), 5, graft.sources.Interleave.DocIdDigits).cast("long"))
     val epoch = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
     val maxSec = flat.agg(max(col("sec"))).collect()(0).getLong(0)
     val expected = flat
