@@ -1,6 +1,5 @@
 package graft.functions
 
-import graft.operators.DeterministicOcrEngine.md5Hex
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -28,41 +27,108 @@ object MinHashOps {
   val NumPerms = 8
   val BandWidth = 2
 
-  def shingleStrings(text: UTF8String, n: Int): Array[String] = {
-    val toks = text.toString.split(" ", -1)
-    val count = math.max(0, toks.length - n) + 1
-    val out = new Array[String](count)
+  /** Permutation prefixes "0|".."7|" as reusable ASCII bytes. */
+  private val PrefixBytes: Array[Array[Byte]] =
+    Array.tabulate(NumPerms)(p => s"$p|".getBytes("US-ASCII"))
+
+  private val HexAscii: Array[Byte] = "0123456789abcdef".getBytes("US-ASCII")
+
+  /**
+   * Byte-diet core (the pipeline is DRAM-bandwidth-bound, BENCH/BASELINE.md): all
+   * shingle work runs on the UTF8String's raw bytes with ZERO per-shingle String or
+   * Char materialization.
+   *
+   *  - 0x20 never occurs inside a UTF-8 multibyte sequence, so byte-splitting equals
+   *    `split(" ", -1)`;
+   *  - tokens joined with ' ' reconstruct the ORIGINAL byte span (split is
+   *    separator-exact), so shingle i of width n is just the byte range
+   *    [starts(i), starts(min(i+n, nTok)) - 1) — no join allocation at all;
+   *  - md5 digests are compared as unsigned byte arrays, which orders identically to
+   *    comparing their lowercase-hex strings (the nibble -> hex-char map is monotone),
+   *    so only the winning digests are ever hexified.
+   *
+   * Values are bit-identical to the string formulation (DuckDB oracles unchanged).
+   */
+  private def tokenStarts(bytes: Array[Byte]): (Array[Int], Int) = {
+    var n = 1
     var i = 0
-    while (i < count) {
-      val end = math.min(toks.length, i + n)
-      out(i) = toks.slice(i, end).mkString(" ")
+    while (i < bytes.length) { if (bytes(i) == 0x20) n += 1; i += 1 }
+    val starts = new Array[Int](n + 1)
+    var t = 1
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == 0x20) { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(n) = bytes.length + 1 // sentinel: shingle end = starts(j) - 1
+    (starts, n)
+  }
+
+  /** a < b over 16-byte digests, unsigned lexicographic (== hex-string order). */
+  private def digestLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  private def hexAsciiOf(d: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      val b = d(i) & 0xff
+      out(2 * i) = HexAscii(b >>> 4)
+      out(2 * i + 1) = HexAscii(b & 0xf)
       i += 1
     }
     out
   }
 
+  /** Min md5 digest over n-gram shingles, with an optional digest-input prefix. */
+  private def minShingleDigest(
+      bytes: Array[Byte], starts: Array[Int], nTok: Int, n: Int,
+      prefix: Array[Byte]): Array[Byte] = {
+    val md = graft.operators.DeterministicOcrEngine.threadMd5.get()
+    val count = math.max(0, nTok - n) + 1
+    var best: Array[Byte] = null
+    var i = 0
+    while (i < count) {
+      val from = starts(i)
+      val until = starts(math.min(i + n, nTok)) - 1
+      md.reset()
+      if (prefix != null) md.update(prefix)
+      md.update(bytes, from, until - from)
+      val d = md.digest()
+      if (best == null || digestLess(d, best)) best = d
+      i += 1
+    }
+    best
+  }
+
   /** (band, band_hash) rows: per-permutation lexicographic-min md5 of "p|shingle",
-    * then md5 of each band's concatenated signature pair. */
+    * then md5 of each band's concatenated (hex) signature pair. */
   def minhashBands(text: UTF8String): ArrayData = {
-    val sh = shingleStrings(text, 3)
-    val mins = new Array[String](NumPerms)
+    val bytes = text.getBytes
+    val (starts, nTok) = tokenStarts(bytes)
+    val mins = new Array[Array[Byte]](NumPerms)
     var p = 0
     while (p < NumPerms) {
-      var best: String = null
-      var i = 0
-      while (i < sh.length) {
-        val h = md5Hex(p.toString + "|" + sh(i))
-        if (best == null || h < best) best = h
-        i += 1
-      }
-      mins(p) = best
+      mins(p) = minShingleDigest(bytes, starts, nTok, 3, PrefixBytes(p))
       p += 1
     }
+    val md = graft.operators.DeterministicOcrEngine.threadMd5.get()
     val rows = new Array[Any](NumPerms / BandWidth)
     var b = 0
     while (b < NumPerms / BandWidth) {
-      rows(b) = InternalRow(b,
-        UTF8String.fromString(md5Hex(mins(2 * b) + mins(2 * b + 1))))
+      md.reset()
+      md.update(hexAsciiOf(mins(2 * b)))
+      md.update(hexAsciiOf(mins(2 * b + 1)))
+      rows(b) = InternalRow(b, UTF8String.fromString(
+        graft.operators.DeterministicOcrEngine.hexOf(md.digest())))
       b += 1
     }
     new GenericArrayData(rows)
@@ -70,15 +136,12 @@ object MinHashOps {
 
   /** (fp, n_shingles): lexicographic-min md5 over 5-gram shingles. */
   def fingerprint(text: UTF8String): InternalRow = {
-    val sh = shingleStrings(text, 5)
-    var best: String = null
-    var i = 0
-    while (i < sh.length) {
-      val h = md5Hex(sh(i))
-      if (best == null || h < best) best = h
-      i += 1
-    }
-    InternalRow(UTF8String.fromString(best), sh.length.toLong)
+    val bytes = text.getBytes
+    val (starts, nTok) = tokenStarts(bytes)
+    val best = minShingleDigest(bytes, starts, nTok, 5, null)
+    val count = math.max(0, nTok - 5) + 1
+    InternalRow(UTF8String.fromString(
+      graft.operators.DeterministicOcrEngine.hexOf(best)), count.toLong)
   }
 }
 

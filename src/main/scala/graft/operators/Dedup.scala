@@ -66,7 +66,13 @@ object Dedup {
       .select(col("doc_id"), col("bs.band"), col("bs.band_hash"))
 
   /** LSH candidate pairs -> exact-Jaccard verification over distinct 3-gram shingle
-    * sets; keeps pairs with jaccard >= 0.5. Output (doc_a, doc_b, jaccard_e6). */
+    * sets; keeps pairs with jaccard >= 0.5. Output (doc_a, doc_b, jaccard_e6).
+    *
+    * The verify stage is CANDIDATE-RESTRICTED: the shingle stream is semi-joined
+    * against the candidate doc-id set before the intersection join, so verification
+    * cost scales with |candidates| (a vanishing fraction at web scale), not with the
+    * corpus — without it, every shingle of every document shuffles into the verify
+    * join even when LSH produced a handful of candidates (VERDICT r1). */
   def neardupPairs(docs: DataFrame): DataFrame = {
     val bands = minhashBands(docs)
     val cand = bands.as("a")
@@ -76,8 +82,12 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
+    val candIds = cand.select(col("doc_a").as("doc_id"))
+      .unionByName(cand.select(col("doc_b").as("doc_id")))
+      .distinct()
     val sh = docs.select(col("doc_id"),
-      explode(array_distinct(TextAnalysis.shingles(col("text"), ShingleN))).as("s"))
+        explode(array_distinct(TextAnalysis.shingles(col("text"), ShingleN))).as("s"))
+      .join(candIds, Seq("doc_id"), "left_semi")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
 
     val inter = cand

@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   * Leptonica `Pix` on the C++ side of the pybind boundary, uiucprescon/ocr/Image.h:9-18). */
 final case class MediaRaw(media_ref: String, mime: String, payload: Array[Byte])
 
-/** Decode result: metadata out, payload summarized (hex) — the binary never re-enters
-  * the relational plane after the island. Error channel mirrors the loader contract
-  * (row-level error value, job never dies: ImageLoaderStrategies.cpp:11-13). */
+/** Decode result: metadata out, payload summarized as its content DIGEST — neither
+  * the binary nor any hex expansion of it ever re-enters the relational plane after
+  * the island (round 1 shipped a payload_hex string column through the row, 2x the
+  * payload bytes serialized per row on a pipeline measured DRAM-bandwidth-bound; the
+  * digest is 32 bytes flat). Error channel mirrors the loader contract (row-level
+  * error value, job never dies: ImageLoaderStrategies.cpp:11-13). */
 final case class MediaDecoded(
     media_ref: String,
     mime: String,
@@ -24,7 +27,7 @@ final case class MediaDecoded(
     h: Int,
     duration_ms: Int,
     n_frames: Int,
-    payload_hex: String)
+    payload_md5: String)
 
 /** Per-media features from the byte stream: exact-integer byte statistics + an 8-dim
   * stride-sum "embedding" (f0..f7 = sum of bytes at positions ≡ r mod 8). */
@@ -117,13 +120,15 @@ object MediaPipeline {
       it.map { ref =>
         if (ref == null || ref.startsWith("missing-"))
           MediaDecoded(ref, "application/octet-stream", ok = false,
-            "Unable to decode " + ref, 0, 0, 0, 0, 0, "")
+            "Unable to decode " + ref, 0, 0, 0, 0, 0, md5Hex(""))
         else {
           val payload = payloadFor(ref)
           val mime = mimeFor(ref)
           val (w, h, dur, nf) = codec.decode(mime, payload)
+          // digest of the HEX form (oracle parity: md5(ph) over the SQL-reconstructed
+          // hex string) — computed here so only the 32-char digest leaves the island
           MediaDecoded(ref, mime, ok = true, null, payload.length, w, h, dur, nf,
-            hexOf(payload))
+            md5Hex(hexOf(payload)))
         }
       }
     }
@@ -134,7 +139,7 @@ object MediaPipeline {
     decodeAll(docs).toDF()
       .select(col("media_ref"), col("mime"), col("ok").cast("int").as("ok"),
         col("error"), col("n_bytes"), col("w"), col("h"), col("duration_ms"),
-        col("n_frames"), md5(col("payload_hex")).as("payload_md5"))
+        col("n_frames"), col("payload_md5"))
       .orderBy(col("media_ref"))
 
   /** Frame sampling for videos — pure Catalyst explode over decoded metadata. */

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Plan-shape regression gates (VERDICT r1 #9): the scale properties the engine's
+ * scaladocs claim are asserted here so a later change cannot silently regress them.
+ *
+ *  - NO registered query may plan a BroadcastNestedLoopJoin or CartesianProduct —
+ *    at 10^12 rows either one is a dead plan (the round-1 offenders ann_topk /
+ *    ivf_topk / embed_neardup now use literal-dimension fan-out and the triangle
+ *    equi-join respectively);
+ *  - the flagship's per-branch nested-schema pruning must hold on a materialized
+ *    corpus scan: the media branch never reads spans.text (the bulk of the bytes),
+ *    the text branch never reads spans.media_ref.
+ */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def planOf(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  // snapshot_lineage is excluded: building its DataFrame RUNS the snapshot protocol
+  // (covered by SnapshotResumeSpec); its returned lineage frame is a local manifest
+  // table with no join surface.
+  private val planChecked =
+    SparkEntry.queries.keys.filterNot(_ == "snapshot_lineage").toSeq.sorted
+
+  test("no registered query plans a BroadcastNestedLoopJoin or CartesianProduct") {
+    val offenders = planChecked.flatMap { name =>
+      val plan = planOf(SparkEntry.queries(name)(spark, sfDir))
+      Seq("BroadcastNestedLoopJoin", "CartesianProduct")
+        .filter(plan.contains).map(op => s"$name: $op")
+    }
+    assert(offenders.isEmpty, s"quadratic join operators in plans: $offenders")
+  }
+
+  test("flagship branches prune nested columns on a materialized corpus scan") {
+    val flat = graft.operators.ExtractPipeline.extractFlat(
+      graft.sources.Interleave.materializedDocs(spark, sfDir))
+    // executedPlan hides scan details behind AQE; the formatted explain keeps them
+    val plan = flat.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val scans = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scans.size >= 2, s"expected two branch scans, got: $scans")
+    assert(scans.exists(s => !s.contains("text")),
+      s"media branch scan must not read spans.text: $scans")
+    assert(scans.exists(s => !s.contains("media_ref")),
+      s"text branch scan must not read spans.media_ref: $scans")
+  }
+
+  // (the zero-Exchange bucketed-join property is asserted in BucketedJoinSpec, which
+  // controls autoBroadcastJoinThreshold — a naive re-check here just sees the small
+  // table get broadcast)
+}
