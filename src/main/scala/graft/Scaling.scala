@@ -22,14 +22,24 @@ import org.apache.spark.sql.SparkSession
  */
 object Scaling {
 
-  def runOnce(spark: SparkSession, sfDir: String, replicate: Int): Unit = {
+  def runOnce(spark: SparkSession, sfDir: String, replicate: Int): Unit =
+    runPhase(spark, sfDir, replicate, "full")
+
+  /** Pipeline prefixes for per-phase attribution (SPARK_GRAFT_PHASE in the pinned
+    * worker): scan -> +extract (narrow) -> +sorted reassembly -> full skew-routed. */
+  def runPhase(spark: SparkSession, sfDir: String, replicate: Int, phase: String): Unit = {
     // input = materialized corpus TABLE (the production contract is a table scan;
     // synthesizing inline would re-evaluate the synthesis expression per consumer
     // and measure corpus generation, not extraction)
     val input = Interleave.materializedDocs(spark, sfDir, replicate)
-    val flat = ExtractPipeline.extractFlat(input)
-    val docs = ExtractPipeline.reassemble(flat)
-    docs.write.format("noop").mode("overwrite").save()
+    val df = phase match {
+      case "scan" => input
+      case "flat" => ExtractPipeline.extractFlat(input)
+      case "sorted" => ExtractPipeline.reassembleSorted(ExtractPipeline.extractFlat(input))
+      case "full2x" => ExtractPipeline.reassemble(ExtractPipeline.extractFlat(input))
+      case _ => ExtractPipeline.extractAndReassemble(input)
+    }
+    df.write.format("noop").mode("overwrite").save()
   }
 
   /** MEASURED document count of the corpus a run processes — parquet metadata-only
@@ -38,7 +48,7 @@ object Scaling {
   def corpusDocs(spark: SparkSession, sfDir: String, replicate: Int): Long =
     Interleave.materializedDocs(spark, sfDir, replicate).count()
 
-  private def session(cpus: Int): SparkSession = {
+  private[graft] def session(cpus: Int): SparkSession = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val s = SparkSession.builder()
@@ -121,12 +131,52 @@ object Scaling {
     best
   }
 
+  /**
+   * Run one level's timed reps in a CHILD JVM pinned to exactly `cpus` CPUs with
+   * `taskset -c 0..cpus-1`. This is the faithful sandbox stand-in for a real N-node
+   * cluster: an unpinned local[8] JVM still borrows all 32 vCPUs for GC, JIT,
+   * shuffle-IO and netty threads, inflating the small "cluster" and deflating the
+   * measured N->4N ratio — a real 8-core cluster has no such spare cores. The child
+   * inherits this JVM's flags (add-opens, GC, heap) and classpath; it prints one
+   * WORKER_TIMES line which the parent parses. Returns (times, nDocs).
+   */
+  private def pinnedWorker(
+      cpus: Int, sfDir: String, replicate: Int, reps: Int): (Seq[Double], Long) = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.filterNot(_.startsWith("-agentlib"))
+    val cmd = Seq("taskset", "-c", s"0-${cpus - 1}", javaBin) ++ jvmArgs ++
+      Seq("-cp", System.getProperty("java.class.path"), "graft.ScalingWorker",
+        cpus.toString, sfDir, replicate.toString, reps.toString)
+    val pb = new ProcessBuilder(cmd: _*)
+    // stderr (Spark logs) goes to a file — draining stdout alone while stderr
+    // backs up would deadlock the child on a full pipe
+    val errFile = Files.createTempFile("graft-scaling-worker", ".err").toFile
+    pb.redirectError(errFile)
+    pb.environment().put("SPARK_LOCAL_DIRS", "/dev/shm/graft-shuffle")
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    val ok = p.waitFor() == 0
+    val err = if (ok) "" else Files.readString(errFile.toPath).takeRight(2000)
+    errFile.delete()
+    require(ok, s"pinned worker failed:\n$err")
+    val times = out.linesIterator.find(_.startsWith("WORKER_TIMES="))
+      .map(_.stripPrefix("WORKER_TIMES=").split(",").map(_.toDouble).toSeq)
+      .getOrElse(sys.error(s"no WORKER_TIMES in worker output:\n$out"))
+    val docs = out.linesIterator.find(_.startsWith("WORKER_DOCS="))
+      .map(_.stripPrefix("WORKER_DOCS=").toLong).getOrElse(0L)
+    (times, docs)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val replicate = sys.env.getOrElse("SPARK_GRAFT_REPLICATE", "768").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
     val lo = 8
     val hi = 32
+    val pinned = new java.io.File("/usr/bin/taskset").exists() &&
+      !sys.env.contains("SPARK_GRAFT_UNPINNED")
 
     val capLo = cpuCapacity(lo)
     val capHi = cpuCapacity(hi)
@@ -144,7 +194,15 @@ object Scaling {
     val times = scala.collection.mutable.Map(lo -> List.empty[Double],
       hi -> List.empty[Double])
     var nDocs = 0L
-    (0 until reps).foreach { cycle =>
+    if (pinned) {
+      // one child JVM per level, CPU-pinned with taskset; each does its own warmup
+      // (which also materializes the corpus on first use) + `reps` timed runs
+      Seq(lo, hi).foreach { cpus =>
+        val (ts, docs) = pinnedWorker(cpus, sfDir, replicate, reps)
+        times(cpus) = ts.toList
+        if (nDocs == 0L && docs > 0L) nDocs = docs
+      }
+    } else (0 until reps).foreach { cycle =>
       Seq(lo, hi).foreach { cpus =>
         val spark = session(cpus)
         if (cycle == 0) {
@@ -165,18 +223,20 @@ object Scaling {
     // measured in the same invocation under the same host-load window — never a
     // cross-invocation mix of minima (that would report an efficiency no actual run
     // achieved). Per-level minima are reported separately as best-observed throughput.
-    // "v":2 marks runs after the doc_id-width fix; earlier lines measured a degenerate
-    // job (collapsed doc_ids) and are excluded.
+    // "v":2 marks runs after the doc_id-width fix (in-process, unpinned levels);
+    // "v":3 marks CPU-PINNED runs (each level its own taskset'd JVM). Pinned and
+    // unpinned samples are never mixed; earlier degenerate-job lines are excluded.
+    val ver = if (pinned) 3 else 2
     Files.createDirectories(Paths.get("BENCH"))
     val runsLog = Paths.get("BENCH/scaling_runs.jsonl")
     val runLine =
-      s"""{"v":2,"secs_lo":${times(lo).min},"secs_hi":${times(hi).min},"docs":$nDocs,""" +
+      s"""{"v":$ver,"secs_lo":${times(lo).min},"secs_hi":${times(hi).min},"docs":$nDocs,""" +
         s""""cpu_scale":$hwScale,"mem_scale":$memScale}"""
     Files.writeString(runsLog, runLine + "\n",
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     def field(l: String, k: String) = l.split(s""""$k":""")(1).split("[,}]")(0).toDouble
     val allRuns = Files.readAllLines(runsLog).toArray.toSeq.map(_.toString)
-      .filter(_.startsWith("""{"v":2,"""))
+      .filter(_.startsWith(s"""{"v":$ver,"""))
       .filter(_.contains(s""""docs":$nDocs,"""))
     val nRuns = allRuns.size
     val pairedEffs = allRuns
@@ -199,6 +259,15 @@ object Scaling {
         s""""cpus_hi":$hi,"secs_hi":$tHi,"docs_per_sec_hi":$tputHi}""")
 
     val gateWord = if (gateMet) "MET" else "NOT met"
+    val levelDesc =
+      if (pinned)
+        """Each level runs in its OWN child JVM pinned to exactly N CPUs
+          |(`taskset -c 0-(N-1)`): an unpinned local[8] JVM still borrows all 32 vCPUs
+          |for GC/JIT/shuffle threads, inflating the small "cluster" — pinning is the
+          |faithful two-cluster-size stand-in.""".stripMargin
+      else
+        """Levels run in-process (taskset unavailable), interleaved across cycles so
+          |both sample the same host-load windows.""".stripMargin
     val md =
       s"""# BENCH / BASELINE — measured scaling evidence
          |
@@ -209,17 +278,18 @@ object Scaling {
          |salted agg for the heavy tail) -> noop sink.
          |Input: $sfDir documents x $replicate deterministic replicas = $nDocs docs
          |(count MEASURED from the materialized corpus, not assumed).
+         |$levelDesc
          |
          |## Headline: paired scaling efficiency
          |
          |**Efficiency N -> 4N = median over $nRuns invocation(s) of
-         |(best secs_lo / best secs_hi) / 4, both times from the SAME invocation's
-         |interleaved cycles = ${f"$eff%.3f"}.**
+         |(best secs_lo / best secs_hi) / 4, both levels measured back-to-back in the
+         |SAME invocation = ${f"$eff%.3f"}.**
          |
          |**North-rule gate (>= 0.8 between two cluster sizes): $gateWord as measured
          |on this single shared-memory VM.** No cross-invocation mixing: each ratio
          |pairs a lo and hi time measured minutes apart under the same host load
-         |(all samples: BENCH/scaling_runs.jsonl, "v":2 lines).
+         |(all samples: BENCH/scaling_runs.jsonl, "v":${if (pinned) 3 else 2} lines).
          |
          |## Best-observed throughput (context, per-level minima across all runs)
          |
@@ -253,5 +323,32 @@ object Scaling {
          |""".stripMargin
     Files.createDirectories(Paths.get("BENCH"))
     Files.writeString(Paths.get("BENCH/BASELINE.md"), md)
+  }
+}
+
+/**
+ * Child-JVM entry point for CPU-pinned scaling runs (spawned by [[Scaling]] under
+ * `taskset -c 0-(cpus-1)`): one warmup (which also materializes the corpus), then
+ * `reps` timed full-pipeline runs. Prints machine-readable WORKER_TIMES= and
+ * WORKER_DOCS= lines on stdout; Spark logs stay on stderr.
+ */
+object ScalingWorker {
+  def main(args: Array[String]): Unit = {
+    val Array(cpusS, sfDir, replicateS, repsS) = args
+    val cpus = cpusS.toInt
+    val replicate = replicateS.toInt
+    val reps = repsS.toInt
+    val phase = sys.env.getOrElse("SPARK_GRAFT_PHASE", "full")
+    val spark = Scaling.session(cpus)
+    Scaling.runPhase(spark, sfDir, replicate, phase) // warmup + corpus materialization
+    val nDocs = Scaling.corpusDocs(spark, sfDir, replicate)
+    val times = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      Scaling.runPhase(spark, sfDir, replicate, phase)
+      (System.nanoTime() - t0) / 1e9
+    }
+    println("WORKER_TIMES=" + times.mkString(","))
+    println("WORKER_DOCS=" + nDocs)
+    spark.stop()
   }
 }

@@ -29,6 +29,17 @@ object TuneBench {
       ExtractPipeline.reassemble(
         ExtractPipeline.extractFlat(Interleave.materializedDocs(spark, sfDir, replicate)))
         .write.format("noop").mode("overwrite").save()
+      t("noop_tiny") {
+        spark.range(10).write.format("noop").mode("overwrite").save()
+      }
+      t("plan_only") {
+        ExtractPipeline.reassemble(
+          ExtractPipeline.extractFlat(Interleave.materializedDocs(spark, sfDir, replicate)))
+          .queryExecution.executedPlan
+      }
+      t("scan_count") {
+        Interleave.materializedDocs(spark, sfDir, replicate).count()
+      }
       t("flat_narrow") {
         ExtractPipeline.extractFlat(Interleave.materializedDocs(spark, sfDir, replicate))
           .write.format("noop").mode("overwrite").save()

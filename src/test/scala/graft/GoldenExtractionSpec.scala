@@ -80,15 +80,22 @@ class GoldenExtractionSpec extends AnyFunSuite {
     }
   }
 
+  private def canonDocs(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("doc_id"), to_json(col("spans")).as("s"), col("ok"),
+        col("error"), col("n_spans"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2),
+        Option(r.getString(3)), r.getLong(4))).sortBy(_._1).toSeq
+
   test("salted and unsalted re-assembly are identical") {
     val flat = ExtractPipeline.extractFlat(Interleave.docs(spark, sfDir))
-    def canon(df: org.apache.spark.sql.DataFrame) =
-      df.select(col("doc_id"), to_json(col("spans")).as("s"), col("ok"),
-          col("error"), col("n_spans"))
-        .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2),
-          Option(r.getString(3)), r.getLong(4))).sortBy(_._1).toSeq
-    assert(canon(ExtractPipeline.reassemble(flat, salted = true))
-      === canon(ExtractPipeline.reassemble(flat, salted = false)))
+    assert(canonDocs(ExtractPipeline.reassemble(flat, salted = true))
+      === canonDocs(ExtractPipeline.reassemble(flat, salted = false)))
+  }
+
+  test("one-pass extractAndReassemble == composed reassemble(extractFlat)") {
+    val docs = Interleave.docs(spark, sfDir)
+    assert(canonDocs(ExtractPipeline.extractAndReassemble(docs))
+      === canonDocs(ExtractPipeline.reassemble(ExtractPipeline.extractFlat(docs))))
   }
 
   test("archetype semantics: bad engine => empty text, not a failure") {
