@@ -41,6 +41,24 @@ object SparkEntry {
     ).orderBy(col("doc_id"))
   }
 
+  /** The ASSEMBLED doc form through the one-pass skew-routed pipeline
+    * (ExtractPipeline.extractAndReassemble) — spans flattened to a deterministic
+    * string so the per-document array ORDER (the north-rule invariant) is part of
+    * the value hash the driver compares. */
+  private def extractAssembled(s: SparkSession, dir: String): DataFrame = {
+    val docs = ExtractPipeline.extractAndReassemble(Interleave.docs(s, dir))
+    docs.select(
+      col("doc_id"),
+      array_join(
+        transform(col("spans"), sp => concat_ws(":",
+          sp.getField("offset"), sp.getField("kind"), sp.getField("text"),
+          coalesce(sp.getField("media_ref"), lit("")))), "|").as("content"),
+      col("ok").cast("int").as("all_ok"),
+      coalesce(col("error"), lit("")).as("first_error"),
+      col("n_spans")
+    ).orderBy(col("doc_id"))
+  }
+
   private def extractMetrics(s: SparkSession, dir: String): DataFrame = {
     val flat = ExtractPipeline.extractFlat(Interleave.docs(s, dir))
     flat.groupBy(col("lang")).agg(
@@ -97,6 +115,7 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("offset"))),
     "ocr_extract" -> (ocrExtract(_, _)),
     "extract_docs" -> (extractDocs(_, _)),
+    "extract_assembled" -> (extractAssembled(_, _)),
     "extract_metrics" -> (extractMetrics(_, _)),
     "span_metrics" -> (spanMetrics(_, _)),
     "snapshot_lineage" -> (snapshotLineage(_, _)),
@@ -190,6 +209,7 @@ object SparkEntry {
     "interleave_spans" -> OracleSql.interleaveSpans,
     "ocr_extract" -> OracleSql.ocrExtract,
     "extract_docs" -> OracleSql.extractDocs,
+    "extract_assembled" -> OracleSql.extractAssembled,
     "extract_metrics" -> OracleSql.extractMetrics,
     "span_metrics" -> OracleSql.spanMetrics,
     "snapshot_lineage" -> OracleSql.snapshotLineage,

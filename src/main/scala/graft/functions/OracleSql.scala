@@ -100,6 +100,19 @@ object OracleSql {
        |       coalesce(string_agg(error, ';' ORDER BY "offset"), '') AS errors
        |FROM extracted GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Mirror of the ASSEMBLED doc form (ExtractPipeline.extractAndReassemble flattened
+    * to strings): span order inside `content` is the north-rule sequence invariant,
+    * `first_error` is the engine's min-(offset)-error pick (offsets are unique per
+    * doc, so arg_min is exact). */
+  val extractAssembled: String =
+    s"""$extractionCtes
+       |SELECT doc_id,
+       |       string_agg(CAST("offset" AS VARCHAR) || ':' || kind || ':' || text || ':' || coalesce(media_ref, ''), '|' ORDER BY "offset") AS content,
+       |       CAST(min(ok) AS INT) AS all_ok,
+       |       coalesce(arg_min(error, "offset") FILTER (WHERE error IS NOT NULL), '') AS first_error,
+       |       CAST(count(*) AS BIGINT) AS n_spans
+       |FROM extracted GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Per-span OCR word count, recomputed the way the engine derives it (n words =
     * 8 + 2 * firstHexDigit of the payload hash) — non-OCR spans contribute 0. */
   private val nWordsExpr: String =
