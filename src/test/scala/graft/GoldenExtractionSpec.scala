@@ -98,6 +98,28 @@ class GoldenExtractionSpec extends AnyFunSuite {
       === canonDocs(ExtractPipeline.reassemble(ExtractPipeline.extractFlat(docs))))
   }
 
+  test("pathological 5000-span mega-document routes through the salted tail correctly") {
+    // the heavy-tail shape the salted two-stage aggregation exists for: one document
+    // far past SaltThreshold, interleaved text/media, must reassemble bit-identically
+    // to the oracle with no reducer materializing the whole collect_list at once
+    val spans = (0 until 5000).map { i =>
+      if (i % 2 == 0) Span("text", s"<nav>n</nav><p>w$i</p><a href=\"u\">m</a>", null, i)
+      else Span("image", null, s"m-9$i-$i", i)
+    }
+    val doc = Doc("doc-mega", "en", spans)
+    import spark.implicits._
+    val out = ExtractPipeline.extractAndReassemble(Seq(doc).toDS().toDF()).collect()
+    assert(out.length === 1)
+    val row = out(0)
+    assert(row.getAs[Long]("n_spans") === 5000L)
+    val exp = Oracle.extract(doc)
+    val act = row.getSeq[Row](row.fieldIndex("spans")).map(s =>
+      (s.getAs[Int]("offset"), s.getAs[String]("kind"), s.getAs[String]("text"),
+        s.getAs[String]("media_ref")))
+    assert(act === exp.spans.map(s => (s.offset, s.kind, s.text, s.media_ref)))
+    assert(row.getAs[Boolean]("ok") === exp.ok)
+  }
+
   test("archetype semantics: bad engine => empty text, not a failure") {
     // 'zh' has no traineddata in the default inventory (EngineConfig.default)
     val flat = ExtractPipeline.extractFlat(Interleave.docs(spark, sfDir))
