@@ -93,16 +93,44 @@ object SparkEntry {
   }
 
   /** Full snapshot protocol end-to-end: extract -> wave commits -> manifest; the
-    * returned lineage's integer columns are DuckDB-verified. */
+    * returned lineage's integer columns are DuckDB-verified. Runs over the
+    * bucket-PARTITIONED corpus layout so each wave's input filter prunes at the scan
+    * (PartitionFilters — the production resume path, SnapshotResumeSpec). */
   private def snapshotLineage(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.SnapshotSink
     val out = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft-snapshot-query-" + dir.replaceAll("[^a-z0-9.]", "-"))
     SnapshotSink.deleteRecursively(out)
-    SnapshotSink.run(Interleave.docs(s, dir), out.toString, nBuckets = 8, waveSize = 4)
+    SnapshotSink.run(Interleave.materializedDocsBucketed(s, dir, 8), out.toString,
+      nBuckets = 8, waveSize = 4)
     SnapshotSink.lineage(s, out.toString)
       .select(col("bucket"), col("rows").as("rows_"), col("n_spans"), col("n_media"),
         col("n_text"), col("n_err"), col("ocr_chars"), col("n_words"))
+      .orderBy(col("bucket"))
+  }
+
+  /** The bucket deterministically invalidated by the snapshot_resume query. */
+  private val ResumeVictim = 3
+
+  /** Resume under the driver's gate (the north rule's marquee feature): commit the
+    * full snapshot, delete ONE bucket's committed data, resume, and emit per-bucket
+    * lineage with a re_extracted flag taken from the resume report's processed set.
+    * The oracle predicts exactly bucket [[ResumeVictim]] re-extracted with unchanged
+    * per-bucket counts — a protocol regression (re-extracting everything, or failing
+    * to invalidate) flips flags or counts and hash-mismatches. */
+  private def snapshotResume(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotSink
+    val out = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-snapresume-query-" + dir.replaceAll("[^a-z0-9.]", "-"))
+    SnapshotSink.deleteRecursively(out)
+    val docs = Interleave.materializedDocsBucketed(s, dir, 8)
+    SnapshotSink.run(docs, out.toString, nBuckets = 8, waveSize = 4)
+    SnapshotSink.deleteRecursively(out.resolve("data").resolve(s"bucket=$ResumeVictim"))
+    val report = SnapshotSink.run(docs, out.toString, nBuckets = 8, waveSize = 4)
+    val re = report.processed.map(Integer.valueOf)
+    SnapshotSink.lineage(s, out.toString)
+      .select(col("bucket"), col("rows").as("rows_"), col("n_spans"), col("n_err"),
+        when(col("bucket").isInCollection(re), 1).otherwise(0).as("re_extracted"))
       .orderBy(col("bucket"))
   }
 
@@ -119,6 +147,7 @@ object SparkEntry {
     "extract_metrics" -> (extractMetrics(_, _)),
     "span_metrics" -> (spanMetrics(_, _)),
     "snapshot_lineage" -> (snapshotLineage(_, _)),
+    "snapshot_resume" -> (snapshotResume(_, _)),
     "hocr_words" -> ((s, dir) => {
       import graft.functions.HocrAlto
       ExtractPipeline.extractFlat(Interleave.docs(s, dir))
@@ -184,7 +213,7 @@ object SparkEntry {
     "ann_lsh_pairs" -> ((s, dir) =>
       Similarity.annLshPairs(Similarity.withEmbMutants(embeddings(s, dir)))),
     "embed_neardup" -> ((s, dir) =>
-      Similarity.embedNeardup(Similarity.withEmbMutants(embeddings(s, dir)))),
+      Similarity.embedNeardupAudit(Similarity.withEmbMutants(embeddings(s, dir)))),
     "ivf_topk" -> ((s, dir) => Similarity.ivfTopK(embeddings(s, dir))),
     // ---- sessionization (events table, window-function family) -------------------
     "sessionize" -> ((s, dir) => graft.operators.Sessions.sessionize(
@@ -213,6 +242,7 @@ object SparkEntry {
     "extract_metrics" -> OracleSql.extractMetrics,
     "span_metrics" -> OracleSql.spanMetrics,
     "snapshot_lineage" -> OracleSql.snapshotLineage,
+    "snapshot_resume" -> OracleSql.snapshotResume,
     "hocr_words" -> OracleSql.hocrWords,
     "alto_words" -> OracleSql.altoWords,
     "dedup_exact" -> OracleSqlDedup.dedupExact,

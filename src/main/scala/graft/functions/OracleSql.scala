@@ -147,6 +147,19 @@ object OracleSql {
        |       CAST(sum($nWordsExpr) AS BIGINT) AS n_words
        |FROM extracted GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** Mirror of SparkEntry.snapshotResume: per-bucket counts are unchanged by the
+    * invalidate+resume cycle, and exactly bucket 3 (SparkEntry.ResumeVictim) carries
+    * re_extracted = 1 — the resume's processed set must be precisely the
+    * invalidated bucket. */
+  val snapshotResume: String =
+    s"""$extractionCtes
+       |SELECT CAST(CAST(substr(doc_id, 5) AS BIGINT) % 8 AS INT) AS bucket,
+       |       CAST(count(*) AS BIGINT) AS rows_,
+       |       CAST(count(*) AS BIGINT) AS n_spans,
+       |       CAST(sum(CASE WHEN error IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_err,
+       |       CAST(max(CASE WHEN CAST(substr(doc_id, 5) AS BIGINT) % 8 = 3 THEN 1 ELSE 0 END) AS INT) AS re_extracted
+       |FROM extracted GROUP BY 1 ORDER BY bucket""".stripMargin
+
   /** Expected hOCR/ALTO parse output computed DIRECTLY from the engine word model
     * (word i of an ok media span = substr(md5(payloadHex:i),1,6); geometry/conf per
     * [[HocrAlto]]'s deterministic layout) — independent of the Spark side's actual

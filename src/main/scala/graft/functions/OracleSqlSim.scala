@@ -90,11 +90,16 @@ object OracleSqlSim {
        |SELECT vec_a, vec_b, cos_e6 FROM pairs
        |WHERE cos_e6 >= 900000 ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Mirrors [[graft.operators.Similarity.embedNeardupAudit]]: the registered exact
+    * all-pairs query runs on the deterministic vec_id % AuditMod == 0 audit subset
+    * (AuditMod = 4 divides the mutant stride 100000, so sampled vectors keep their
+    * mutant twins). */
   val embedNeardup: String =
-    s"""$mutantCtes
+    s"""$mutantCtes,
+       |vs AS (SELECT * FROM vn WHERE vec_id % 4 = 0)
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |       ${cosE6(dot("a.q", "b.q"), "a.n2", "b.n2")} AS cos_e6
-       |FROM vn a JOIN vn b ON a.vec_id < b.vec_id
+       |FROM vs a JOIN vs b ON a.vec_id < b.vec_id
        |WHERE ${cosE6(dot("a.q", "b.q"), "a.n2", "b.n2")} >= 900000
        |ORDER BY vec_a, vec_b""".stripMargin
 

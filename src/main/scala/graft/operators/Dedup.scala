@@ -79,14 +79,17 @@ object Dedup {
     // re-evaluate the md5-heavy signature expression over the whole corpus — at
     // production scale the signature table is written out exactly like this (it is
     // per-doc metadata, ~100 bytes/doc, vs re-hashing every shingle per consumer).
-    val bands = minhashBands(docs).localCheckpoint()
+    // eager=false: merely CONSTRUCTING this DataFrame (PlanSpec, plan_only audits)
+    // must not execute the signature job as a side effect; the checkpoint
+    // materializes at the first real action (ADVICE r2)
+    val bands = minhashBands(docs).localCheckpoint(eager = false)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      .localCheckpoint() // tiny (candidate pairs only); read 3x below
+      .localCheckpoint(eager = false) // tiny (candidate pairs only); read 3x below
 
     val candIds = cand.select(col("doc_a").as("doc_id"))
       .unionByName(cand.select(col("doc_b").as("doc_id")))

@@ -123,13 +123,39 @@ object Interleave {
    * pruning (each branch reads only its span fields). Written once per
    * (sfDir, replicate) under java.io.tmpdir; subsequent calls just scan.
    */
-  def materializedDocs(spark: SparkSession, sfDir: String, replicate: Int = 1): DataFrame = {
-    // Cache key = full escaped path + replicate + a content fingerprint of the source
-    // parquet (sizes + mtimes). A stale or colliding cache would silently serve the
-    // wrong corpus to every bench number downstream, so the key is collision-proof by
-    // construction (no bare hashCode) and invalidates when the source changes.
+  def materializedDocs(spark: SparkSession, sfDir: String, replicate: Int = 1): DataFrame =
+    materialize(spark, sfDir, s"-r$replicate") { tmp =>
+      docs(spark, sfDir, replicate).write.mode("overwrite").parquet(tmp.toString)
+    }
+
+  /**
+   * The corpus materialized PARTITIONED BY the snapshot bucket key
+   * (`bucket = `[[graft.sources.SnapshotSink.bucketOf]]`(doc_id, nBuckets)`) — the
+   * layout a production deployment uses so [[graft.sources.SnapshotSink.run]]'s
+   * wave/resume filters prune AT THE SCAN (`PartitionFilters` in the plan) instead of
+   * re-scanning the full input every wave. At 100 TB with W waves the unpartitioned
+   * layout costs W full corpus scans, and a 99%-committed resume still reads 100 TB;
+   * this layout reads exactly the uncommitted buckets' bytes (VERDICT r2 top item).
+   * SnapshotResumeSpec asserts the pruning and the output equality vs the
+   * unpartitioned path.
+   */
+  def materializedDocsBucketed(spark: SparkSession, sfDir: String,
+      nBuckets: Int = 8, replicate: Int = 1): DataFrame =
+    materialize(spark, sfDir, s"-r$replicate-b$nBuckets") { tmp =>
+      docs(spark, sfDir, replicate)
+        .withColumn("bucket", SnapshotSink.bucketOf(col("doc_id"), nBuckets))
+        .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
+    }
+
+  /** Shared write-once-then-scan materialization. Cache key = full escaped path +
+    * variant (replicate/bucketing knobs) + a content fingerprint of the source
+    * parquet (sizes + mtimes). A stale or colliding cache would silently serve the
+    * wrong corpus to every bench number downstream, so the key is collision-proof by
+    * construction (no bare hashCode) and invalidates when the source changes. */
+  private def materialize(spark: SparkSession, sfDir: String, variant: String)(
+      write: java.nio.file.Path => Unit): DataFrame = {
     val srcFp = sourceFingerprint(java.nio.file.Paths.get(sfDir, "documents.parquet"))
-    val tag = (sfDir.replaceAll("[^A-Za-z0-9._-]", "_") + "-r" + replicate
+    val tag = (sfDir.replaceAll("[^A-Za-z0-9._-]", "_") + variant
       + "-" + srcFp).takeRight(120)
     val path = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), s"graft-corpus-$tag")
     if (!java.nio.file.Files.exists(path.resolve("_SUCCESS"))) {
@@ -137,7 +163,7 @@ object Interleave {
       // callers race to the rename, never to a half-written directory.
       val tmp = java.nio.file.Files.createTempDirectory(
         path.getParent, s"graft-corpus-$tag.")
-      docs(spark, sfDir, replicate).write.mode("overwrite").parquet(tmp.toString)
+      write(tmp)
       try java.nio.file.Files.move(tmp, path,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch {
@@ -155,12 +181,16 @@ object Interleave {
     * of every regular file under it — metadata-only, no byte reads. */
   private def sourceFingerprint(p: java.nio.file.Path): String = {
     import scala.jdk.CollectionConverters._
+    require(java.nio.file.Files.exists(p),
+      s"corpus source parquet not found: $p (expected <sfDir>/documents.parquet)")
     val md = java.security.MessageDigest.getInstance("MD5")
     val files =
-      if (java.nio.file.Files.isDirectory(p))
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq
+      if (java.nio.file.Files.isDirectory(p)) {
+        val stream = java.nio.file.Files.walk(p)
+        try stream.iterator().asScala.toSeq
           .filter(java.nio.file.Files.isRegularFile(_)).sortBy(_.toString)
-      else Seq(p)
+        finally stream.close()
+      } else Seq(p)
     files.foreach { f =>
       md.update(f.toString.getBytes("UTF-8"))
       md.update(java.nio.file.Files.size(f).toString.getBytes("UTF-8"))

@@ -37,9 +37,12 @@ import org.apache.spark.sql.functions._
  * are processed in WAVES of `waveSize`, one Spark action per wave, committing after each
  * — at 10^12 documents a monolithic job has no commit points, whereas wave granularity
  * bounds re-work after a failure to one wave while keeping full cluster parallelism
- * within it. On a real deployment the input table would be partitioned by the same
- * bucket expression, turning the resume filter into partition pruning at the scan
- * (here it prunes post-scan; the synthesis source is a single parquet file).
+ * within it. When the input table carries a `bucket` PARTITION column equal to the
+ * same bucket expression ([[graft.sources.Interleave.materializedDocsBucketed]] — the
+ * production layout), the wave/resume filter prunes AT THE SCAN (`PartitionFilters`):
+ * each wave reads only its own buckets' bytes and a 99%-committed resume reads 1% of
+ * the corpus, not all of it. Unpartitioned inputs (live synthesis) fall back to the
+ * post-scan filter.
  *
  * Per-bucket lineage = one [[graft.operators.SpanMetricsAgg]] pass (custom Aggregator,
  * map-side partials) + engine version (the F1/F2 version-introspection analogues,
@@ -90,6 +93,10 @@ object SnapshotSink {
    * Run (or resume) the resumable extraction of `docs` into `outDir`.
    * Committed buckets are skipped upstream of the OCR island; buckets whose files no
    * longer match their manifest hash are invalidated and re-extracted.
+   *
+   * If `docs` has a `bucket` column it MUST equal `bucketOf(doc_id, nBuckets)` (the
+   * [[graft.sources.Interleave.materializedDocsBucketed]] layout); it is then used
+   * directly as the wave filter so a partitioned source prunes at the scan.
    */
   def run(
       docs: DataFrame,
@@ -140,8 +147,14 @@ object SnapshotSink {
       // -- step 2: extract the wave's buckets into staging ------------------------
       // The filter sits on the INPUT side of the pipeline: a resumed job never pays
       // decode/OCR for committed work (the expensive step is the one being saved,
-      // exactly like the reference skipping a re-download on hash match).
-      val docsW = docs.filter(bucketOf(col("doc_id"), nBuckets).isin(wave: _*))
+      // exactly like the reference skipping a re-download on hash match). Against a
+      // bucket-PARTITIONED source this is a partition filter — the scan itself reads
+      // only the wave's buckets (SnapshotResumeSpec asserts PartitionFilters + the
+      // pruned partition count); otherwise it prunes post-scan.
+      val docsW =
+        if (docs.columns.contains("bucket"))
+          docs.filter(col("bucket").isin(wave: _*)).drop("bucket")
+        else docs.filter(bucketOf(col("doc_id"), nBuckets).isin(wave: _*))
       val flat = ExtractPipeline.extractFlat(docsW, config)
         .withColumn("bucket", bucketOf(col("doc_id"), nBuckets))
       // Range repartitioning on (bucket, doc_id, offset) — the north rule's explicit
@@ -243,8 +256,14 @@ object SnapshotSink {
    * committed byte without ever pulling data through the driver.
    */
   private def fastVerify(out: Path, e: ManifestEntry): Boolean = {
+    // Manifests from an older format version read back with null parallel arrays
+    // (Spark's JSON source yields null for absent fields): a null or length-skewed
+    // array set is a FAILED verification — the bucket is invalidated and rebuilt —
+    // never an NPE that kills the advertised resume path (ADVICE r2).
+    val arraysOk = e.files != null && e.file_sizes != null && e.file_hashes != null &&
+      e.files.size == e.file_sizes.size && e.files.size == e.file_hashes.size
     val dir = bucketDir(out, e.bucket)
-    Files.isDirectory(dir) &&
+    arraysOk && Files.isDirectory(dir) &&
       listDataFiles(dir).map(p => (p.getFileName.toString, Files.size(p))) ==
         e.files.zip(e.file_sizes)
   }
@@ -296,11 +315,15 @@ object SnapshotSink {
 
   private def listDataFiles(dir: Path): Seq[Path] =
     if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala.toSeq
-      .filter(p => Files.isRegularFile(p))
-      .filterNot(p => p.getFileName.toString.startsWith(".")
-        || p.getFileName.toString.startsWith("_"))
-      .sortBy(_.getFileName.toString)
+    else {
+      val stream = Files.list(dir)
+      try stream.iterator().asScala.toSeq
+        .filter(p => Files.isRegularFile(p))
+        .filterNot(p => p.getFileName.toString.startsWith(".")
+          || p.getFileName.toString.startsWith("_"))
+        .sortBy(_.getFileName.toString)
+      finally stream.close()
+    }
 
   private def hex(bytes: Array[Byte]): String =
     bytes.map(b => f"${b & 0xff}%02x").mkString
@@ -330,6 +353,8 @@ object SnapshotSink {
 
   private[graft] def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      val stream = Files.walk(p)
+      try stream.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally stream.close()
     }
 }

