@@ -180,6 +180,10 @@ object Scaling {
     val lo = sys.env.getOrElse("SPARK_GRAFT_LO", "8").toInt
     val hi = sys.env.getOrElse("SPARK_GRAFT_HI", "32").toInt
     require(hi == 4 * lo, "north rule compares N vs 4N")
+    // SPARK_GRAFT_PHASE times a pipeline PREFIX (scan/flat/sorted/full) at both
+    // levels — the per-phase attribution rows of the report. Phase lines are tagged
+    // in the log and NEVER mixed into the headline (full-pipeline) statistics.
+    val phase = sys.env.getOrElse("SPARK_GRAFT_PHASE", "full")
     val pinned = new java.io.File("/usr/bin/taskset").exists() &&
       !sys.env.contains("SPARK_GRAFT_UNPINNED")
 
@@ -235,17 +239,30 @@ object Scaling {
     Files.createDirectories(Paths.get("BENCH"))
     val runsLog = Paths.get("BENCH/scaling_runs.jsonl")
     val runLine =
-      s"""{"v":$ver,"lo":$lo,"hi":$hi,""" +
+      s"""{"v":$ver,"phase":"$phase","lo":$lo,"hi":$hi,""" +
         s""""secs_lo":${times(lo).min},"secs_hi":${times(hi).min},"docs":$nDocs,""" +
         s""""cpu_scale":$hwScale,"mem_scale":$memScale}"""
     Files.writeString(runsLog, runLine + "\n",
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     def field(l: String, k: String) = l.split(s""""$k":""")(1).split("[,}]")(0).toDouble
-    val allRuns = Files.readAllLines(runsLog).toArray.toSeq.map(_.toString)
+    // lines without a phase tag predate the knob and were all full-pipeline runs
+    def phaseOf(l: String): String =
+      if (!l.contains(""""phase":""")) "full"
+      else l.split(""""phase":"""")(1).split("\"")(0)
+    val pairLines = Files.readAllLines(runsLog).toArray.toSeq.map(_.toString)
       .filter(l => l.startsWith(s"""{"v":$ver,""") &&
         (if (l.contains(""""lo":""")) l.contains(s""""lo":$lo,"hi":$hi,""")
          else lo == 8 && hi == 32)) // pre-knob lines were all 8->32
       .filter(_.contains(s""""docs":$nDocs,"""))
+    val allRuns = pairLines.filter(phaseOf(_) == "full")
+    if (phase != "full") {
+      // phase runs only contribute their attribution row; the headline and the
+      // markdown reports are regenerated by full-pipeline invocations
+      println(s"""{"metric":"scaling_phase","phase":"$phase","cpus_lo":$lo,""" +
+        s""""cpus_hi":$hi,"secs_lo":${times(lo).min},"secs_hi":${times(hi).min},""" +
+        s""""docs":$nDocs}""")
+      return
+    }
     val nRuns = allRuns.size
     val pairedEffs = allRuns
       .map(l => (field(l, "secs_lo") / field(l, "secs_hi")) / (hi.toDouble / lo))
@@ -343,7 +360,7 @@ object Scaling {
       else {
         val sup = Files.readAllLines(runsLog).toArray.toSeq.map(_.toString)
           .filter(l => l.startsWith("""{"v":3,""") && l.contains(""""lo":2,"hi":8,""")
-            && l.contains(s""""docs":$nDocs,"""))
+            && l.contains(s""""docs":$nDocs,""") && phaseOf(l) == "full")
         if (sup.isEmpty) ""
         else {
           val effs = sup.map(l => (field(l, "secs_lo") / field(l, "secs_hi")) / 4.0).sorted
@@ -363,7 +380,40 @@ object Scaling {
              |""".stripMargin
         }
       }
-    Files.writeString(Paths.get(mdName), md + supSection)
+    // per-phase attribution for THIS pair (rows exist once SPARK_GRAFT_PHASE runs
+    // were logged): where wall time and scaling loss live along the pipeline
+    val byPhase = Seq("scan", "flat", "sorted", "full")
+      .map(ph => ph -> pairLines.filter(phaseOf(_) == ph))
+      .filter(_._2.nonEmpty)
+    val phaseSection =
+      if (byPhase.size <= 1) ""
+      else {
+        val phaseDesc = Map(
+          "scan" -> "corpus scan only",
+          "flat" -> "scan -> posexplode -> classify/OCR (narrow, no shuffle)",
+          "sorted" -> "flat + sort-based re-assembly (the one shuffle)",
+          "full" -> "flat + skew-routed re-assembly (headline job)")
+        val rows = byPhase.map { case (ph, rs) =>
+          val effs = rs
+            .map(l => (field(l, "secs_lo") / field(l, "secs_hi")) / (hi.toDouble / lo))
+            .sorted
+          f"| $ph | ${phaseDesc(ph)} | ${rs.size} | " +
+            f"${rs.map(field(_, "secs_lo")).min}%.2f | " +
+            f"${rs.map(field(_, "secs_hi")).min}%.2f | ${effs(effs.size / 2)}%.3f |"
+        }.mkString("\n")
+        s"""
+           |## Per-phase attribution ($lo -> $hi, same pinned protocol)
+           |
+           |Each row times a pipeline PREFIX, so differences between adjacent rows
+           |attribute wall time and scaling loss to one stage. Paired efficiency per
+           |phase = median of per-invocation (secs_lo/secs_hi)/4 ratios.
+           |
+           || Phase | prefix | runs | best secs_lo | best secs_hi | paired eff |
+           ||---|---|---|---|---|---|
+           |$rows
+           |""".stripMargin
+      }
+    Files.writeString(Paths.get(mdName), md + supSection + phaseSection)
   }
 }
 

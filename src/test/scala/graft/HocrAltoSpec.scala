@@ -1,0 +1,81 @@
+package graft
+
+import graft.functions.HocrAlto
+import graft.operators.ExtractPipeline
+import graft.sources.Interleave
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Differential gate for the native hOCR/ALTO scanners ([[graft.functions.HocrAltoOps]])
+ * against the declarative regex reference forms: identical rows on every page the
+ * builders produce from the real corpus, plus adversarial fragments (truncated
+ * attributes, missing closers, empty pages) where both must agree on what is SKIPPED.
+ * The DuckDB oracles additionally pin the parsed values against an independent direct
+ * computation (OracleSql.wordCtes), so this spec only needs parser-vs-parser equality.
+ */
+class HocrAltoSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def okPages: DataFrame =
+    ExtractPipeline.extractFlat(Interleave.docs(spark, sfDir))
+      .filter(col("kind") === "image" && col("ok"))
+      .select(col("doc_id"), col("offset"), col("text"))
+
+  test("native hOCR parse == regex parse on every corpus page") {
+    val pages = okPages.withColumn("page", HocrAlto.toHocr(col("text")))
+    val diff = pages
+      .withColumn("native", HocrAlto.parseHocr(col("page")))
+      .withColumn("ref", HocrAlto.parseHocrRegex(col("page")))
+      .filter(not(col("native") === col("ref")))
+    assert(diff.count() === 0)
+    // sanity: the corpus actually produces words to compare
+    assert(pages.select(sum(size(HocrAlto.parseHocr(col("page")))))
+      .head.getLong(0) > 1000)
+  }
+
+  test("native ALTO parse == regex parse on every corpus page") {
+    val pages = okPages.withColumn("page", HocrAlto.toAlto(col("text")))
+    val diff = pages
+      .withColumn("native", HocrAlto.parseAlto(col("page")))
+      .withColumn("ref", HocrAlto.parseAltoRegex(col("page")))
+      .filter(not(col("native") === col("ref")))
+    assert(diff.count() === 0)
+  }
+
+  test("adversarial fragments: malformed word elements are skipped, not mis-parsed") {
+    import spark.implicits._
+    // (the regex REFERENCE cannot run on most of these: under ANSI mode its
+    // cast("" as int) on a failed sub-extract throws CAST_INVALID_INPUT — the native
+    // scanner skipping the element outright is strictly more robust)
+    val cases = Seq(
+      ""                                                       -> (0, 0), // empty
+      "<span class='ocr_line'></span>"                         -> (0, 0), // zero words
+      "<span class='ocrx_word' title='bbox 0 0 8 12; x_wconf 77'>ok</span>" -> (1, 0),
+      "<span class='ocrx_word' title='bbox 0 0 8 12'>noconf</span>"  -> (0, 0),
+      "<span class='ocrx_word' title='bbox 1 2; x_wconf 9'>short</span>" -> (0, 0),
+      // no closing tag: the word still terminates at end-of-input
+      "<span class='ocrx_word' title='bbox 0 0 8 12; x_wconf 77'>tail" -> (1, 0),
+      "<TextLine></TextLine>"                                  -> (0, 0),
+      "<String CONTENT=\"w\" HPOS=\"1\" VPOS=\"0\" WIDTH=\"8\" HEIGHT=\"12\" WC=\"50\"/>" -> (0, 1),
+      "<String CONTENT=\"w\" HPOS=\"1\" VPOS=\"0\"/>"          -> (0, 0), // missing attrs
+      "<String CONTENT=\"w\" WC=\"50\" HPOS=\"1\"/>"           -> (0, 0)  // wrong order
+    )
+    val got = cases.map(_._1).toDF("page")
+      .select(size(HocrAlto.parseHocr(col("page"))).as("h"),
+        size(HocrAlto.parseAlto(col("page"))).as("a"))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(got === cases.map(_._2))
+    // well-formed fragments parse to exactly the expected row
+    val h = Seq("<span class='ocrx_word' title='bbox 0 0 8 12; x_wconf 77'>ok</span>")
+      .toDF("page").select(explode(HocrAlto.parseHocr(col("page"))).as("w"))
+      .select("w.*").as[(String, Int, Int, Int, Int, Int)].head()
+    assert(h === (("ok", 0, 0, 8, 12, 77)))
+    val a = Seq("<String CONTENT=\"w\" HPOS=\"1\" VPOS=\"0\" WIDTH=\"8\" HEIGHT=\"12\" WC=\"50\"/>")
+      .toDF("page").select(explode(HocrAlto.parseAlto(col("page"))).as("w"))
+      .select("w.*").as[(String, Int, Int, Int, Int, Int)].head()
+    assert(a === (("w", 1, 0, 8, 12, 50)))
+  }
+}

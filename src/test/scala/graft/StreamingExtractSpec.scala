@@ -49,6 +49,47 @@ class StreamingExtractSpec extends AnyFunSuite {
     assert(streamed.size > afterFirst)
   }
 
+  test("committed streaming drain: snapshot-protocol lineage, re-delivered batch skips committed buckets") {
+    val table = tmp("ctable"); val out = tmp("cout"); val ckpt = tmp("cckpt")
+    val docs = Interleave.docs(spark, sfDir)
+    // 4 files < maxFilesPerTrigger=16 => the drain is exactly ONE micro-batch
+    // (batchId 0), which the re-delivery calls below replay
+    docs.repartition(4).write.mode("append").parquet(table)
+
+    StreamingExtract.drainOnceCommitted(spark, table, out, ckpt)
+
+    // lineage parity: the streaming output carries the SAME manifest format, with
+    // per-bucket metrics accounting for every span
+    val manifest = SnapshotSink.readManifest(spark, out)
+    assert(manifest.nonEmpty)
+    val batch = canon(ExtractPipeline.extractFlat(docs))
+    assert(canon(SnapshotSink.readBack(spark, out)) === batch)
+    assert(manifest.map(_.n_spans).sum === batch.size)
+    assert(manifest.forall(_.engine_version.nonEmpty))
+
+    // re-delivery of an already-committed batch (foreachBatch replay after a crash
+    // between sink commit and checkpoint advance): all ids verify -> all skipped
+    val flat0 = ExtractPipeline.extractFlat(spark.read.parquet(table))
+    assert(SnapshotSink.commitStreamBatch(flat0, out, batchId = 0L) === Seq.empty)
+
+    // partial re-delivery: one bucket's data lost mid-crash -> ONLY it is
+    // re-committed, the others' bytes untouched (committed-bucket skip, streaming)
+    val ids = manifest.map(_.bucket).sorted
+    val victim = ids.head
+    def bytes(b: Int): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(Paths.get(out, "data", s"bucket=$b"))
+      try s.iterator().asScala.filter(p => java.nio.file.Files.isRegularFile(p))
+        .map(p => p.getFileName.toString -> java.nio.file.Files.size(p)).toMap
+      finally s.close()
+    }
+    val before = ids.tail.map(b => b -> bytes(b)).toMap
+    SnapshotSink.deleteRecursively(Paths.get(out, "data", s"bucket=$victim"))
+    assert(SnapshotSink.commitStreamBatch(flat0, out, batchId = 0L) === Seq(victim))
+    ids.tail.foreach(b => assert(bytes(b) === before(b), s"bucket $b"))
+    assert(canon(SnapshotSink.readBack(spark, out)) === batch)
+  }
+
   test("watermarked windowed metrics finalize closed windows and match batch counts") {
     val table = tmp("wtable"); val ckpt = tmp("wckpt")
     Interleave.docs(spark, sfDir).write.mode("append").parquet(table)
