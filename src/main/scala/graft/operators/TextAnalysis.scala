@@ -90,23 +90,29 @@ object TextAnalysis {
     * divergence between libm implementations). Ties break on the term. */
   def topTerms(documents: DataFrame, k: Int = 3): DataFrame = {
     val n = documents.count() // corpus size: one tiny job, broadcast as a literal
+    // tf is consumed twice (df derivation + the scoring join): checkpoint lazily so
+    // the token explode+agg runs once, not once per consumer — at corpus scale the
+    // tf table is exactly what a production pipeline would materialize
     val tf = documents
       .select(col("doc_id"), size(toks(col("text"))).cast("long").as("dl"),
         explode(toks(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
     val df = tf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
-      .orderBy(col("score_e6").desc, col("term"))
+    // bounded per-doc top-k via TermTopKAgg (map-side partials, no sort) — a
+    // row_number().over(Window.partitionBy(doc_id)) plan would shuffle AND sort
+    // every (doc, term) pair to keep 3 of them (same argument as Similarity.annTopK)
+    val topk = udaf(new TermTopKAgg(k))
     tf.join(df, Seq("term"))
       .withColumn("score_e6",
         floor(lit(1000000.0) * col("tf") * lit(n) / (col("df") * col("dl")))
           .cast("long"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
-        col("score_e6"))
+      .groupBy(col("doc_id"))
+      .agg(topk(col("score_e6"), col("term"), col("tf"), col("df")).as("tk"))
+      .select(col("doc_id"), posexplode(col("tk.items")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("rk"), col("col.term"),
+        col("col.tf"), col("col.df"), col("col.score_e6"))
       .orderBy(col("doc_id"), col("rk"))
   }
 
