@@ -1,5 +1,14 @@
 package graft.functions
 
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
 /**
  * Deterministic seeded random-hyperplane family for sign-LSH over the 64-dim
  * quantized embeddings — shared by the Spark operator
@@ -37,6 +46,34 @@ object LshPlanes {
     }
   }
 
+  /** All band keys in ONE pass over the quantized vector — the evaluation target of
+    * [[LshBandsExpr]]. Value-identical to 64 separate `DotLong(q, lit(plane)) >= 0`
+    * expressions (same min-length dot loop as [[VecOps.dotLong]], same sign rule),
+    * but the plane matrix is referenced STATICALLY: nothing ships in the plan, where
+    * the literal form serialized 64 weight arrays into every task binary (the last
+    * "Broadcasting large task binary" source in the similarity family). */
+  def bandsOf(q: ArrayData): ArrayData = {
+    val arr = q.toLongArray()
+    val out = new Array[Any](Bands)
+    var b = 0
+    while (b < Bands) {
+      var key = 0
+      var j = 0
+      while (j < Bits) {
+        val w = planes(b * Bits + j)
+        val n = math.min(arr.length, w.length)
+        var dot = 0L
+        var i = 0
+        while (i < n) { dot += arr(i) * w(i); i += 1 }
+        if (dot >= 0) key |= 1 << j
+        j += 1
+      }
+      out(b) = InternalRow(b, key)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** One band key as DuckDB SQL over a quantized array column `q`:
     * sum_j (dot(q, plane_{band,j}) >= 0 ? 2^j : 0). Exact integer arithmetic on both
     * engines (±1 weights, BIGINT elements). */
@@ -45,4 +82,25 @@ object LshPlanes {
       val w = planes(band * Bits + j).mkString("[", ", ", "]")
       s"(CASE WHEN list_sum(list_transform(list_zip($q, $w), z -> z[1] * z[2])) >= 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString("(", "\n         + ", ")")
+}
+
+/** Native banded sign-LSH signature: array<long> (quantized vector) ->
+  * array<struct<band:int, key:int>> via [[LshPlanes.bandsOf]] — one pass, static
+  * plane matrix, no plan literals. */
+case class LshBandsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("band", IntegerType, nullable = false),
+    StructField("key", IntegerType, nullable = false))), containsNull = false)
+  override def prettyName: String = "lsh_bands"
+  override def nullSafeEval(input: Any): Any =
+    LshPlanes.bandsOf(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.LshPlanes.bandsOf($c)")
+  override protected def withNewChildInternal(newChild: Expression): LshBandsExpr =
+    copy(child = newChild)
+}
+
+object LshBandsExpr {
+  def apply(q: Column): Column =
+    ColumnBridge.column(LshBandsExpr(ColumnBridge.expression(q)))
 }

@@ -132,22 +132,13 @@ object Similarity {
   /** Banded sign-LSH signature: [[graft.functions.LshPlanes]] seeded random-hyperplane
     * family — 4 bands × 16 sign bits each, as array<struct<band:int, key:int>>. Each
     * bit is the sign of an exact integer dot product against a deterministic ±1
-    * hyperplane (native codegen'd [[graft.functions.DotLong]] with a literal weight
-    * array), so the band key space is 2^16 and expected bucket occupancy is N/65,536 —
-    * the O(1)-occupancy scheme that keeps the candidate self-join near-linear at
-    * 10^9+ vectors (replaces the round-1 4-bit coordinate keys whose 16 buckets/band
-    * degenerated to ~N^2/8 candidates). */
-  private def signBands(q: Column): Column = {
-    import graft.functions.LshPlanes
-    val bands = (0 until LshPlanes.Bands).map { b =>
-      val key = (0 until LshPlanes.Bits).map { j =>
-        val w = typedLit(LshPlanes.planes(b * LshPlanes.Bits + j).toSeq)
-        when(graft.functions.DotLong(q, w) >= 0, lit(1 << j)).otherwise(lit(0))
-      }.reduce(_ + _)
-      struct(lit(b).as("band"), key.as("key"))
-    }
-    array(bands: _*)
-  }
+    * hyperplane, so the band key space is 2^16 and expected bucket occupancy is
+    * N/65,536 — the O(1)-occupancy scheme that keeps the candidate self-join
+    * near-linear at 10^9+ vectors (replaces the round-1 4-bit coordinate keys whose
+    * 16 buckets/band degenerated to ~N^2/8 candidates). Evaluation is the native
+    * one-pass [[graft.functions.LshBandsExpr]]: the plane matrix is a static object,
+    * not 64 plan literals — nothing ships in the task binary. */
+  private def signBands(q: Column): Column = graft.functions.LshBandsExpr(q)
 
   /** LSH candidate pairs verified at cos >= 0.9 over the mutant-widened set.
     * Output (vec_a, vec_b, cos_e6). */
