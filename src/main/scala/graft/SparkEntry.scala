@@ -124,9 +124,12 @@ object SparkEntry {
       sys.props("java.io.tmpdir"), "graft-snapresume-query-" + dir.replaceAll("[^a-z0-9.]", "-"))
     SnapshotSink.deleteRecursively(out)
     val docs = Interleave.materializedDocsBucketed(s, dir, 8)
-    SnapshotSink.run(docs, out.toString, nBuckets = 8, waveSize = 4)
+    // waveSize=8: the initial commit is one wave (half the job count) — wave
+    // granularity itself is already demonstrated by snapshot_lineage (waveSize=4);
+    // THIS query's subject is the invalidate->resume cycle
+    SnapshotSink.run(docs, out.toString, nBuckets = 8, waveSize = 8)
     SnapshotSink.deleteRecursively(out.resolve("data").resolve(s"bucket=$ResumeVictim"))
-    val report = SnapshotSink.run(docs, out.toString, nBuckets = 8, waveSize = 4)
+    val report = SnapshotSink.run(docs, out.toString, nBuckets = 8, waveSize = 8)
     val re = report.processed.map(Integer.valueOf)
     SnapshotSink.lineage(s, out.toString)
       .select(col("bucket"), col("rows").as("rows_"), col("n_spans"), col("n_err"),
