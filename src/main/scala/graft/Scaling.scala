@@ -184,6 +184,10 @@ object Scaling {
     // levels — the per-phase attribution rows of the report. Phase lines are tagged
     // in the log and NEVER mixed into the headline (full-pipeline) statistics.
     val phase = sys.env.getOrElse("SPARK_GRAFT_PHASE", "full")
+    // a typo'd phase would run SOMETHING, log it under the unknown tag, and be
+    // silently excluded from every report — reject it before spending minutes
+    require(Set("scan", "flat", "sorted", "full", "full2x")(phase),
+      s"unknown SPARK_GRAFT_PHASE '$phase' (expected scan|flat|sorted|full|full2x)")
     val pinned = new java.io.File("/usr/bin/taskset").exists() &&
       !sys.env.contains("SPARK_GRAFT_UNPINNED")
 
@@ -215,11 +219,13 @@ object Scaling {
       Seq(lo, hi).foreach { cpus =>
         val spark = session(cpus)
         if (cycle == 0) {
-          runOnce(spark, sfDir, replicate) // warmup (also materializes the corpus)
+          runPhase(spark, sfDir, replicate, phase) // warmup (also materializes the corpus)
           if (nDocs == 0L) nDocs = corpusDocs(spark, sfDir, replicate) // measured, not assumed
         }
         val t0 = System.nanoTime()
-        runOnce(spark, sfDir, replicate)
+        // the REQUESTED phase — timing runOnce here would log full-pipeline times
+        // under the phase tag and poison the attribution table
+        runPhase(spark, sfDir, replicate, phase)
         times(cpus) ::= (System.nanoTime() - t0) / 1e9
         spark.stop()
       }
@@ -358,9 +364,10 @@ object Scaling {
     val supSection =
       if (lo != 8 || hi != 32) ""
       else {
-        val sup = Files.readAllLines(runsLog).toArray.toSeq.map(_.toString)
+        val supAll = Files.readAllLines(runsLog).toArray.toSeq.map(_.toString)
           .filter(l => l.startsWith("""{"v":3,""") && l.contains(""""lo":2,"hi":8,""")
-            && l.contains(s""""docs":$nDocs,""") && phaseOf(l) == "full")
+            && l.contains(s""""docs":$nDocs,"""))
+        val sup = supAll.filter(phaseOf(_) == "full")
         if (sup.isEmpty) ""
         else {
           val effs = sup.map(l => (field(l, "secs_lo") / field(l, "secs_hi")) / 4.0).sorted
@@ -368,6 +375,31 @@ object Scaling {
           val mems = sup.map(field(_, "mem_scale")).sorted
           val supMem = mems(mems.size / 2) / 4.0
           val supGate = if (supEff >= 0.8) "MET" else "NOT met"
+          // phase verdict computed FROM the logged 2->8 phase samples — never a
+          // hardcoded conclusion (a future sample set could reveal a real serial
+          // stage, and the regenerated report must say so)
+          val supPhases = Seq("scan", "flat", "sorted").flatMap { ph =>
+            val rs = supAll.filter(phaseOf(_) == ph)
+            if (rs.isEmpty) None
+            else {
+              val es = rs.map(l => (field(l, "secs_lo") / field(l, "secs_hi")) / 4.0)
+                .sorted
+              Some(ph -> es(es.size / 2))
+            }
+          }
+          val phaseVerdict =
+            if (supPhases.isEmpty) ""
+            else {
+              val txt = supPhases.map { case (p, e) => f"$p $e%.2f" }.mkString(", ")
+              val slowest = supPhases.minBy(_._2)
+              if (supPhases.forall(_._2 >= supEff - 0.05))
+                s"; per-phase medians ($txt vs full ${f"$supEff%.2f"}) show no " +
+                  "stage scaling materially below the full job — no serial bottleneck"
+              else
+                s"; per-phase medians ($txt vs full ${f"$supEff%.2f"}) put the " +
+                  s"slowest-scaling stage at '${slowest._1}' " +
+                  f"(${slowest._2}%.2f) — detail in BENCH/BASELINE_2to8.md"
+            }
           val supRead =
             if (supEff >= 0.8)
               """the >= 0.8 gate is MET where the hardware is not the binding
@@ -375,10 +407,9 @@ object Scaling {
                 |wall, not to any serial bottleneck in the plan""".stripMargin
             else
               s"""${effs.count(_ >= 0.8)} of ${effs.size} individual samples meet the
-                 |0.8 gate outright, the per-invocation sample table ties the spread to
-                 |each invocation's own hardware probes on this shared hypervisor, and
-                 |the per-phase attribution shows no pipeline stage scaling
-                 |systematically below the full job — no serial bottleneck""".stripMargin
+                 |0.8 gate outright, and the per-invocation sample table ties the
+                 |spread to each invocation's own hardware probes on this shared
+                 |hypervisor""".stripMargin + phaseVerdict
           s"""
              |## Supporting pair: N=2 -> 4N=8 (engine scaling where DRAM still scales)
              |

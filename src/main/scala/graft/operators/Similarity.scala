@@ -91,6 +91,12 @@ object Similarity {
     * every task binary, and a single-valued equi-key keeps the plan a
     * BroadcastHashJoin (still no BNLJ). These are model/workload dimensions (query
     * batch, IVF codebook): bounded by construction, never corpus-sized. */
+  /** Hard ceiling for the broadcast fallback: ~0.5 GB of 64-dim quantized vectors.
+    * A dimension larger than this is a miswired call (e.g. the scan side passed as
+    * the dim) — fail fast with a clear message instead of OOMing the driver during
+    * broadcast build (the guard litDim used to carry, re-established post-refactor). */
+  val BroadcastDimCap = 1000000
+
   private def fanOut(base: DataFrame, dim: DataFrame,
       idName: String, qName: String, n2Name: String): DataFrame = {
     val rows = dim.take(LitDimCap + 1)
@@ -101,6 +107,11 @@ object Similarity {
         .select(base.columns.map(col) ++ Seq(col("__d._1").as(idName),
           col("__d._2").as(qName), col("__d._3").as(n2Name)): _*)
     } else {
+      // limit-bounded count: a distributed short-circuit job, no driver data
+      val n = dim.limit(BroadcastDimCap + 1).count()
+      require(n <= BroadcastDimCap,
+        s"fan-out dimension exceeds $BroadcastDimCap rows — this is a model/workload " +
+          "dimension (query batch, IVF codebook), never corpus-sized; check the caller")
       val Seq(c0, c1, c2) = dim.columns.toSeq.take(3)
       val d = dim.select(col(c0).as(idName), col(c1).as(qName), col(c2).as(n2Name))
         .withColumn("__k", lit(1))
@@ -204,8 +215,13 @@ object Similarity {
     embedNeardupFull(embWithMutants.filter(col("vec_id") % auditMod === 0), nBlocks)
 
   private def embedNeardupFull(embWithMutants: DataFrame, nBlocks: Int): DataFrame = {
+    // blk from HASH(vec_id), not vec_id % nBlocks: the audit form's input is itself a
+    // modulus sample (vec_id % AuditMod == 0), and composing two moduli would leave
+    // only gcd-compatible residues populated — 3 of the 36 triangle tasks carrying
+    // all the work. Hashing stays uniform under ANY deterministic id sampling; the
+    // block id never reaches the output, so the oracle is unaffected.
     val v = quantized(embWithMutants)
-      .withColumn("blk", pmod(col("vec_id"), lit(nBlocks)).cast("int"))
+      .withColumn("blk", pmod(hash(col("vec_id")), lit(nBlocks)).cast("int"))
     val aSide = v
       .select(col("vec_id").as("id_a"), col("q").as("qa"), col("n2").as("n2a"),
         col("blk").as("ti"), explode(sequence(col("blk"), lit(nBlocks - 1))).as("tj"))

@@ -111,6 +111,21 @@ object SnapshotSink {
     val dataDir = out.resolve("data")
     Files.createDirectories(dataDir)
 
+    if (docs.columns.contains("bucket")) {
+      // Layout guard: the column MUST be bucketOf(doc_id, nBuckets). A wrong
+      // nBuckets (e.g. a 16-bucket layout into an 8-bucket run) leaves values
+      // >= nBuckets matching NO wave filter — documents silently never extracted,
+      // manifests "successfully" committed short. The range check is
+      // pruning-resolved on a partitioned source (zero file reads when clean);
+      // an in-range function mismatch is caught per wave by commitWaveFlat's
+      // stray-bucket check.
+      val bad = docs.filter(col("bucket") < 0 || col("bucket") >= nBuckets)
+        .limit(1).count()
+      require(bad == 0,
+        s"input `bucket` column has values outside [0, $nBuckets) — " +
+          "bucket-layout / nBuckets mismatch would silently drop documents")
+    }
+
     // -- step 1: idempotent skip via content hash ---------------------------------
     // (name+size check is driver-side METADATA only; the byte-level hash check runs
     // as ONE batched distributed job over every fast-passing bucket — at 100 TB the
@@ -249,15 +264,30 @@ object SnapshotSink {
       .write.partitionBy("bucket").mode("overwrite").parquet(staging.toString)
 
     // verify + lineage by re-reading what was written (write-path corruption
-    // surfaces here, not at some later consumer)
-    val metrics = spark.read.parquet(staging.toString)
-      .groupBy(col("bucket"))
-      .agg(SpanMetricsAgg.spanMetrics(
-        col("kind"), col("ok"), col("error"), col("text"),
-        col("n_words"), col("conf_sum")).as("m"))
-      .select(col("bucket"), col("m.*"))
-      .collect()
-      .map(r => r.getInt(0) -> r).toMap
+    // surfaces here, not at some later consumer). An all-empty wave writes no
+    // partition dirs at all (Spark emits only _SUCCESS) — re-reading would throw
+    // schema-inference errors, so record zero-metrics entries instead: an empty
+    // bucket is a legal committed state (resume of an empty bucket, re-delivered
+    // stream batch whose rows all verified elsewhere).
+    val metrics: Map[Int, org.apache.spark.sql.Row] =
+      if (listPartitionDirs(staging).isEmpty) Map.empty
+      else spark.read.parquet(staging.toString)
+        .groupBy(col("bucket"))
+        .agg(SpanMetricsAgg.spanMetrics(
+          col("kind"), col("ok"), col("error"), col("text"),
+          col("n_words"), col("conf_sum")).as("m"))
+        .select(col("bucket"), col("m.*"))
+        .collect()
+        .map(r => r.getInt(0) -> r).toMap
+    // Stray-bucket gate: every staged bucket id must belong to the committing
+    // wave. flat's `bucket` is recomputed from doc_id here, so if the INPUT's
+    // bucket column (which selected the wave's documents) disagrees with
+    // bucketOf(doc_id, nBuckets), rows land outside `wave`, would never be
+    // published, and the snapshot would silently lose them — abort loudly first.
+    val stray = metrics.keySet -- wave.toSet
+    require(stray.isEmpty,
+      s"staged bucket ids $stray fall outside the committing wave $wave — the " +
+        "input's `bucket` column disagrees with bucketOf(doc_id, nBuckets)")
     val wallMs = ((System.nanoTime() - t0) / 1e6).toLong
 
     // atomic per-bucket publish + manifest republish
@@ -369,6 +399,17 @@ object SnapshotSink {
     stats.foreach { case (n, sz, h) => md.update(s"$n:$sz:$h\n".getBytes("UTF-8")) }
     hex(md.digest())
   }
+
+  /** The `bucket=N` partition directories under a staging root (empty wave =>
+    * none: Spark writes only _SUCCESS for empty partitioned output). */
+  private def listPartitionDirs(dir: Path): Seq[Path] =
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val stream = Files.list(dir)
+      try stream.iterator().asScala.toSeq
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("bucket="))
+      finally stream.close()
+    }
 
   private def listDataFiles(dir: Path): Seq[Path] =
     if (!Files.isDirectory(dir)) Seq.empty
