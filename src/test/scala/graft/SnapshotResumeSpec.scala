@@ -141,6 +141,42 @@ class SnapshotResumeSpec extends AnyFunSuite {
       s"wave scan read $nPart partitions, expected exactly 1 of $NB")
   }
 
+  test("empty buckets commit cleanly (zero-metric manifest entries, no re-read crash)") {
+    // only two doc ids -> 6 of 8 buckets are EMPTY; Spark writes no partition dirs
+    // for an empty partitioned output, which used to crash the verification re-read
+    val out = tmpDir("empty")
+    val two = docs.filter(
+      substring(col("doc_id"), 5, Interleave.DocIdDigits).cast("long").isin(1L, 2L))
+    val report = SnapshotSink.run(two, out, nBuckets = NB, waveSize = 3)
+    assert(report.processed.sorted === (0 until NB))
+    val manifest = SnapshotSink.readManifest(spark, out)
+    assert(manifest.map(_.bucket).sorted === (0 until NB))
+    assert(manifest.count(_.n_spans > 0) === 2)
+    assert(manifest.count(_.n_spans == 0) === NB - 2)
+    assert(canon(SnapshotSink.readBack(spark, out))
+      === canon(ExtractPipeline.extractFlat(two)))
+    // idempotent resume over the mostly-empty snapshot
+    val again = SnapshotSink.run(two, out, nBuckets = NB, waveSize = 3)
+    assert(again.processed.isEmpty)
+    assert(again.skipped.sorted === (0 until NB))
+  }
+
+  test("bucket-layout mismatches fail loudly instead of dropping documents") {
+    // 16-bucket layout into an 8-bucket run: values 8..15 would match no wave
+    val b16 = Interleave.materializedDocsBucketed(spark, sfDir, nBuckets = 16)
+    val e1 = intercept[IllegalArgumentException] {
+      SnapshotSink.run(b16, tmpDir("mismatch"), nBuckets = NB, waveSize = NB)
+    }
+    assert(e1.getMessage.contains("outside [0, 8)"))
+
+    // in-range but WRONG function (constant 0): stray-bucket gate aborts pre-publish
+    val wrongFn = docs.withColumn("bucket", lit(0))
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotSink.run(wrongFn, tmpDir("wrongfn"), nBuckets = NB, waveSize = 3)
+    }
+    assert(e2.getMessage.contains("disagrees with bucketOf"))
+  }
+
   test("re-running a complete snapshot is a no-op (idempotency, languages.py:135-145)") {
     val out = tmpDir("idem")
     SnapshotSink.run(docs, out, nBuckets = NB, waveSize = NB)
