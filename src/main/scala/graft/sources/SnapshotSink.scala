@@ -111,27 +111,44 @@ object SnapshotSink {
     val dataDir = out.resolve("data")
     Files.createDirectories(dataDir)
 
-    if (docs.columns.contains("bucket")) {
-      // Layout guard: the column MUST be bucketOf(doc_id, nBuckets). A wrong
-      // nBuckets (e.g. a 16-bucket layout into an 8-bucket run) leaves values
-      // >= nBuckets matching NO wave filter — documents silently never extracted,
-      // manifests "successfully" committed short. The range check is
-      // pruning-resolved on a partitioned source (zero file reads when clean);
-      // an in-range function mismatch is caught per wave by commitWaveFlat's
-      // stray-bucket check.
-      val bad = docs.filter(col("bucket") < 0 || col("bucket") >= nBuckets)
-        .limit(1).count()
-      require(bad == 0,
-        s"input `bucket` column has values outside [0, $nBuckets) — " +
-          "bucket-layout / nBuckets mismatch would silently drop documents")
-    }
-
     // -- step 1: idempotent skip via content hash ---------------------------------
     // (name+size check is driver-side METADATA only; the byte-level hash check runs
     // as ONE batched distributed job over every fast-passing bucket — at 100 TB the
     // driver never re-reads committed data and the job count stays O(1), not
     // O(buckets))
     val existing = readManifest(spark, outDir)
+
+    if (docs.columns.contains("bucket")) {
+      // Layout guard, two tiers. (1) Range: the column MUST lie in [0, nBuckets). A
+      // wrong nBuckets (e.g. a 16-bucket layout into an 8-bucket run) leaves values
+      // >= nBuckets matching NO wave filter — documents silently never extracted,
+      // manifests "successfully" committed short. The range check is
+      // pruning-resolved on a partitioned source (zero file reads when clean).
+      val bad = docs.filter(col("bucket") < 0 || col("bucket") >= nBuckets)
+        .limit(1).count()
+      require(bad == 0,
+        s"input `bucket` column has values outside [0, $nBuckets) — " +
+          "bucket-layout / nBuckets mismatch would silently drop documents")
+      // (2) Agreement: an IN-RANGE but wrong-function column (e.g. a constant) can
+      // pass tier 1 AND commitWaveFlat's stray-bucket gate whenever the misassigned
+      // rows' true buckets fall inside the committing wave — in particular any
+      // single-wave commit (waveSize >= nBuckets). The initial commit would then
+      // succeed, but a later resume of one invalidated bucket filters by the wrong
+      // column, stages zero rows, and empty-wave handling would commit the bucket as
+      // legitimately empty — silent data loss (ADVICE r3). So on the INITIAL commit
+      // (no manifest yet — the job reads the whole corpus anyway, and one extra
+      // two-column pass is noise next to OCR) assert column == bucketOf(doc_id)
+      // everywhere. Resumes skip this scan to keep partition pruning intact; they
+      // are covered by the non-empty refusal below.
+      if (existing.isEmpty) {
+        val mismatch = docs
+          .filter(col("bucket") =!= bucketOf(col("doc_id"), nBuckets))
+          .limit(1).count()
+        require(mismatch == 0,
+          s"input `bucket` column disagrees with bucketOf(doc_id, $nBuckets) — " +
+            "an in-range wrong bucket column would silently mis-route documents")
+      }
+    }
     val (fastOk, fastBad) = existing.partition(e => fastVerify(out, e))
     val (valid, deepBad) =
       if (!deepVerify || fastOk.isEmpty) (fastOk, Seq.empty[ManifestEntry])
@@ -146,6 +163,12 @@ object SnapshotSink {
       }
     val invalid = fastBad ++ deepBad
     invalid.foreach(e => deleteRecursively(dataDir.resolve(s"bucket=${e.bucket}")))
+    // Resume-side half of the layout guard: a bucket being RE-extracted whose prior
+    // manifest entry recorded rows > 0 must not stage empty — that is the silent-loss
+    // signature of an in-range wrong bucket column on a resume (the agreement scan
+    // above only runs on initial commits). Legitimately-empty buckets (prior rows == 0)
+    // stay re-committable as empty.
+    val mustBeNonEmpty = invalid.filter(_.rows > 0).map(_.bucket).toSet
     var manifest = valid.sortBy(_.bucket)
     val committed = valid.map(_.bucket).toSet
     val todo = (0 until nBuckets).filterNot(committed)
@@ -170,7 +193,8 @@ object SnapshotSink {
       val flat = ExtractPipeline.extractFlat(docsW, config)
         .withColumn("bucket", bucketOf(col("doc_id"), nBuckets))
       val (newManifest, waveRows) =
-        commitWaveFlat(spark, out, flat, wave, manifest, t0)
+        commitWaveFlat(spark, out, flat, wave, manifest, t0,
+          expectNonEmpty = mustBeNonEmpty.intersect(wave.toSet))
       manifest = newManifest
       processed ++= wave
       totalRows += waveRows
@@ -249,7 +273,8 @@ object SnapshotSink {
       flat: DataFrame,
       wave: Seq[Int],
       manifest0: Seq[ManifestEntry],
-      t0: Long): (Seq[ManifestEntry], Long) = {
+      t0: Long,
+      expectNonEmpty: Set[Int] = Set.empty): (Seq[ManifestEntry], Long) = {
     val dataDir = out.resolve("data")
     val staging = out.resolve("staging")
     deleteRecursively(staging)
@@ -288,6 +313,18 @@ object SnapshotSink {
     require(stray.isEmpty,
       s"staged bucket ids $stray fall outside the committing wave $wave — the " +
         "input's `bucket` column disagrees with bucketOf(doc_id, nBuckets)")
+    // Refuse the silent-loss shape BEFORE anything publishes: a re-extracted bucket
+    // whose prior manifest entry had rows > 0 staging ZERO rows means the resume
+    // filter selected nothing — a wrong (but in-range) input bucket column, or the
+    // input shrank under the snapshot. Either way committing "empty" destroys
+    // previously-committed data. Operators who truly mean it delete the manifest
+    // entry first (forcing the initial-commit agreement scan on the next run).
+    val vanished = expectNonEmpty -- metrics.keySet
+    require(vanished.isEmpty,
+      s"resume staged ZERO rows for bucket(s) ${vanished.toSeq.sorted} whose prior " +
+        "manifest entries recorded rows > 0 — refusing to overwrite committed data " +
+        "with empty buckets (wrong input `bucket` column, or input changed under " +
+        "the snapshot; delete the manifest entry to force a rebuild)")
     val wallMs = ((System.nanoTime() - t0) / 1e6).toLong
 
     // atomic per-bucket publish + manifest republish

@@ -175,6 +175,41 @@ class SnapshotResumeSpec extends AnyFunSuite {
       SnapshotSink.run(wrongFn, tmpDir("wrongfn"), nBuckets = NB, waveSize = 3)
     }
     assert(e2.getMessage.contains("disagrees with bucketOf"))
+
+    // the ADVICE r3 hole: waveSize >= nBuckets puts ALL true buckets inside the one
+    // committing wave, so the stray-bucket gate alone cannot see the wrong column —
+    // the initial-commit agreement scan must catch it
+    val e3 = intercept[IllegalArgumentException] {
+      SnapshotSink.run(wrongFn, tmpDir("wrongfn1w"), nBuckets = NB, waveSize = NB)
+    }
+    assert(e3.getMessage.contains("disagrees with bucketOf"))
+  }
+
+  test("resume refuses to overwrite a non-empty committed bucket with ZERO staged rows") {
+    // Commit correctly, invalidate one bucket, then resume with an in-range but
+    // wrong bucket column (agreement scan only runs on initial commits): the resume
+    // wave filter selects nothing for the victim — committing it as "empty" would be
+    // silent data loss (ADVICE r3 medium). The sink must abort BEFORE publishing and
+    // leave every committed bucket byte-identical.
+    val out = tmpDir("emptyresume")
+    val bdocs = Interleave.materializedDocsBucketed(spark, sfDir, NB)
+    SnapshotSink.run(bdocs, out, nBuckets = NB, waveSize = NB)
+    val victim = 6
+    SnapshotSink.deleteRecursively(Paths.get(out, "data", s"bucket=$victim"))
+    val survivors = (0 until NB).filterNot(_ == victim)
+    val before = survivors.map(b => b -> bucketBytes(out, b)).toMap
+
+    val wrongResume = docs.withColumn("bucket", lit(0)) // in-range, never == victim
+    val e = intercept[IllegalArgumentException] {
+      SnapshotSink.run(wrongResume, out, nBuckets = NB, waveSize = NB)
+    }
+    assert(e.getMessage.contains("refusing to overwrite committed data"), e.getMessage)
+    survivors.foreach(b => assert(bucketBytes(out, b) === before(b), s"bucket $b"))
+    // a CORRECT resume afterwards heals the snapshot
+    val healed = SnapshotSink.run(bdocs, out, nBuckets = NB, waveSize = NB)
+    assert(healed.processed === Seq(victim))
+    assert(canon(SnapshotSink.readBack(spark, out))
+      === canon(ExtractPipeline.extractFlat(docs)))
   }
 
   test("re-running a complete snapshot is a no-op (idempotency, languages.py:135-145)") {
