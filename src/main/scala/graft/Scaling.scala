@@ -456,7 +456,9 @@ object Scaling {
 
     // per-phase attribution for THIS pair (rows exist once SPARK_GRAFT_PHASE runs
     // were logged): where wall time and scaling loss live along the pipeline
-    val byPhase = Seq("scan", "flat", "sorted", "full")
+    // every accepted SPARK_GRAFT_PHASE value has a row here — a phase that can be
+    // run but never reported would be write-only telemetry (ADVICE r3)
+    val byPhase = Seq("scan", "flat", "sorted", "full", "full2x")
       .map(ph => ph -> pairLines.filter(phaseOf(_) == ph))
       .filter(_._2.nonEmpty)
     val phaseSection =
@@ -466,12 +468,13 @@ object Scaling {
           "scan" -> "corpus scan only",
           "flat" -> "scan -> posexplode -> classify/OCR (narrow, no shuffle)",
           "sorted" -> "flat + sort-based re-assembly (the one shuffle)",
-          "full" -> "flat + skew-routed re-assembly (headline job)")
+          "full" -> "flat + skew-routed re-assembly (headline job)",
+          "full2x" -> "flat + UNROUTED re-assembly (differential: skew-routing gain)")
         val rows = byPhase.map { case (ph, rs) =>
           val effs = rs
             .map(l => (field(l, "secs_lo") / field(l, "secs_hi")) / (hi.toDouble / lo))
             .sorted
-          f"| $ph | ${phaseDesc(ph)} | ${rs.size} | " +
+          f"| $ph | ${phaseDesc.getOrElse(ph, ph)} | ${rs.size} | " +
             f"${rs.map(field(_, "secs_lo")).min}%.2f | " +
             f"${rs.map(field(_, "secs_hi")).min}%.2f | ${effs(effs.size / 2)}%.3f |"
         }.mkString("\n")

@@ -82,7 +82,8 @@ object SparkEntry {
     import graft.operators.SpanMetricsAgg
     import graft.sources.SnapshotSink
     ExtractPipeline.extractFlat(Interleave.docs(s, dir))
-      .withColumn("bucket", SnapshotSink.bucketOf(col("doc_id"), 8))
+      .withColumn("bucket",
+        SnapshotSink.bucketOf(col("doc_id"), SnapshotSink.DefaultBuckets))
       .groupBy(col("bucket"))
       .agg(SpanMetricsAgg.spanMetrics(
         col("kind"), col("ok"), col("error"), col("text"),
@@ -98,41 +99,46 @@ object SparkEntry {
     * (PartitionFilters — the production resume path, SnapshotResumeSpec). */
   private def snapshotLineage(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.SnapshotSink
+    val nb = SnapshotSink.DefaultBuckets
     val out = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft-snapshot-query-" + dir.replaceAll("[^a-z0-9.]", "-"))
     SnapshotSink.deleteRecursively(out)
-    SnapshotSink.run(Interleave.materializedDocsBucketed(s, dir, 8), out.toString,
-      nBuckets = 8, waveSize = 4)
+    SnapshotSink.run(Interleave.materializedDocsBucketed(s, dir, nb), out.toString,
+      nBuckets = nb, waveSize = 4)
     SnapshotSink.lineage(s, out.toString)
-      .select(col("bucket"), col("rows").as("rows_"), col("n_spans"), col("n_media"),
+      // manifest bucket ids are Long (streaming composite-id headroom); batch ids
+      // are tiny — surface as INT to match the oracle's CAST(... AS INT)
+      .select(col("bucket").cast("int").as("bucket"), col("rows").as("rows_"),
+        col("n_spans"), col("n_media"),
         col("n_text"), col("n_err"), col("ocr_chars"), col("n_words"))
       .orderBy(col("bucket"))
   }
 
-  /** The bucket deterministically invalidated by the snapshot_resume query. */
-  private val ResumeVictim = 3
-
   /** Resume under the driver's gate (the north rule's marquee feature): commit the
     * full snapshot, delete ONE bucket's committed data, resume, and emit per-bucket
     * lineage with a re_extracted flag taken from the resume report's processed set.
-    * The oracle predicts exactly bucket [[ResumeVictim]] re-extracted with unchanged
-    * per-bucket counts — a protocol regression (re-extracting everything, or failing
-    * to invalidate) flips flags or counts and hash-mismatches. */
+    * The oracle predicts exactly bucket [[OracleSql.ResumeVictim]] re-extracted
+    * (single-sourced next to the SQL that hardcodes it) with unchanged per-bucket
+    * counts — a protocol regression (re-extracting everything, or failing to
+    * invalidate) flips flags or counts and hash-mismatches. */
   private def snapshotResume(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.SnapshotSink
+    val nb = SnapshotSink.DefaultBuckets
     val out = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft-snapresume-query-" + dir.replaceAll("[^a-z0-9.]", "-"))
     SnapshotSink.deleteRecursively(out)
-    val docs = Interleave.materializedDocsBucketed(s, dir, 8)
-    // waveSize=8: the initial commit is one wave (half the job count) — wave
+    val docs = Interleave.materializedDocsBucketed(s, dir, nb)
+    // waveSize=nb: the initial commit is one wave (half the job count) — wave
     // granularity itself is already demonstrated by snapshot_lineage (waveSize=4);
     // THIS query's subject is the invalidate->resume cycle
-    SnapshotSink.run(docs, out.toString, nBuckets = 8, waveSize = 8)
-    SnapshotSink.deleteRecursively(out.resolve("data").resolve(s"bucket=$ResumeVictim"))
-    val report = SnapshotSink.run(docs, out.toString, nBuckets = 8, waveSize = 8)
-    val re = report.processed.map(Integer.valueOf)
+    SnapshotSink.run(docs, out.toString, nBuckets = nb, waveSize = nb)
+    SnapshotSink.deleteRecursively(
+      out.resolve("data").resolve(s"bucket=${OracleSql.ResumeVictim}"))
+    val report = SnapshotSink.run(docs, out.toString, nBuckets = nb, waveSize = nb)
+    val re = report.processed.map(java.lang.Long.valueOf)
     SnapshotSink.lineage(s, out.toString)
-      .select(col("bucket"), col("rows").as("rows_"), col("n_spans"), col("n_err"),
+      .select(col("bucket").cast("int").as("bucket"), col("rows").as("rows_"),
+        col("n_spans"), col("n_err"),
         when(col("bucket").isInCollection(re), 1).otherwise(0).as("re_extracted"))
       .orderBy(col("bucket"))
   }

@@ -22,6 +22,15 @@ object OracleSql {
   /** Engine model inventory — keep in sync with [[graft.operators.EngineConfig.default]]. */
   val availableLangsSql = "('en','fr','de','es','ita','eng')"
 
+  /** Snapshot bucket count, single-sourced from the sink so the `% N` in every
+    * bucket-keyed oracle cannot desynchronize from the Spark side (ADVICE r3). */
+  val SnapshotBuckets: Int = graft.sources.SnapshotSink.DefaultBuckets
+
+  /** The bucket `SparkEntry.snapshotResume` deterministically invalidates — defined
+    * HERE (next to the SQL that predicts it) and read by the Spark side, same
+    * single-sourcing rationale. */
+  val ResumeVictim = 3
+
   /**
    * Shared CTE prefix: synthesizes the interleaved spans and the extracted spans.
    * Mirrors [[graft.sources.Interleave]] (synthesis), [[graft.operators.TextClassifier]]
@@ -124,7 +133,7 @@ object OracleSql {
     * (bucket = numeric doc id % 8, [[graft.sources.SnapshotSink.bucketOf]]). */
   val spanMetrics: String =
     s"""$extractionCtes
-       |SELECT CAST(CAST(substr(doc_id, 5) AS BIGINT) % 8 AS INT) AS bucket,
+       |SELECT CAST(CAST(substr(doc_id, 5) AS BIGINT) % $SnapshotBuckets AS INT) AS bucket,
        |       CAST(count(*) AS BIGINT) AS n_spans,
        |       CAST(sum(CASE WHEN kind = 'image' THEN 1 ELSE 0 END) AS BIGINT) AS n_media,
        |       CAST(sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) AS BIGINT) AS n_text,
@@ -137,7 +146,7 @@ object OracleSql {
     * whole write->commit->manifest->read path is DuckDB-verified end to end. */
   val snapshotLineage: String =
     s"""$extractionCtes
-       |SELECT CAST(CAST(substr(doc_id, 5) AS BIGINT) % 8 AS INT) AS bucket,
+       |SELECT CAST(CAST(substr(doc_id, 5) AS BIGINT) % $SnapshotBuckets AS INT) AS bucket,
        |       CAST(count(*) AS BIGINT) AS rows_,
        |       CAST(count(*) AS BIGINT) AS n_spans,
        |       CAST(sum(CASE WHEN kind = 'image' THEN 1 ELSE 0 END) AS BIGINT) AS n_media,
@@ -153,11 +162,11 @@ object OracleSql {
     * invalidated bucket. */
   val snapshotResume: String =
     s"""$extractionCtes
-       |SELECT CAST(CAST(substr(doc_id, 5) AS BIGINT) % 8 AS INT) AS bucket,
+       |SELECT CAST(CAST(substr(doc_id, 5) AS BIGINT) % $SnapshotBuckets AS INT) AS bucket,
        |       CAST(count(*) AS BIGINT) AS rows_,
        |       CAST(count(*) AS BIGINT) AS n_spans,
        |       CAST(sum(CASE WHEN error IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_err,
-       |       CAST(max(CASE WHEN CAST(substr(doc_id, 5) AS BIGINT) % 8 = 3 THEN 1 ELSE 0 END) AS INT) AS re_extracted
+       |       CAST(max(CASE WHEN CAST(substr(doc_id, 5) AS BIGINT) % $SnapshotBuckets = $ResumeVictim THEN 1 ELSE 0 END) AS INT) AS re_extracted
        |FROM extracted GROUP BY 1 ORDER BY bucket""".stripMargin
 
   /** Expected hOCR/ALTO parse output computed DIRECTLY from the engine word model

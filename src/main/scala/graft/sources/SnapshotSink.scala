@@ -50,13 +50,23 @@ import org.apache.spark.sql.functions._
  */
 object SnapshotSink {
 
+  /** Default bucket count — single-sourced: the oracle SQL mirrors interpolate this
+    * constant ([[graft.functions.OracleSql.SnapshotBuckets]]) so a change here cannot
+    * silently desynchronize the DuckDB side (ADVICE r3). */
+  val DefaultBuckets = 8
+
   /** One committed bucket in the manifest. `files`/`file_sizes`/`file_hashes` are
     * parallel arrays: per-data-file name, byte size, and md5 — recorded at commit
     * time by a distributed hash job (executors stream the bytes; the driver only
     * ever sees 32-char digests). `content_hash` is the md5 over the sorted
-    * (name:size:md5) lines — one digest summarizing the bucket. */
+    * (name:size:md5) lines — one digest summarizing the bucket.
+    *
+    * `bucket` is a LONG: streaming commits composite ids `batchId * nBuckets + b`
+    * ([[commitStreamBatch]]), and an Int id would cap a stream's lifetime at ~2^28
+    * batches before overflowing mid-flight (ADVICE r3). Batch ids stay tiny
+    * (0 until nBuckets); JSON is untyped so old manifests read back unchanged. */
   final case class ManifestEntry(
-      bucket: Int,
+      bucket: Long,
       rows: Long,
       content_hash: String,
       files: Seq[String],
@@ -73,9 +83,9 @@ object SnapshotSink {
       wall_ms: Long)
 
   final case class SnapshotReport(
-      processed: Seq[Int],
-      skipped: Seq[Int],
-      invalidated: Seq[Int],
+      processed: Seq[Long],
+      skipped: Seq[Long],
+      invalidated: Seq[Long],
       totalRows: Long)
 
   /** Deterministic bucket assignment from the doc_id's numeric suffix
@@ -101,7 +111,7 @@ object SnapshotSink {
   def run(
       docs: DataFrame,
       outDir: String,
-      nBuckets: Int = 8,
+      nBuckets: Int = DefaultBuckets,
       waveSize: Int = 4,
       config: EngineConfig = EngineConfig.default,
       crashAfterWaves: Int = Int.MaxValue,
@@ -149,19 +159,7 @@ object SnapshotSink {
             "an in-range wrong bucket column would silently mis-route documents")
       }
     }
-    val (fastOk, fastBad) = existing.partition(e => fastVerify(out, e))
-    val (valid, deepBad) =
-      if (!deepVerify || fastOk.isEmpty) (fastOk, Seq.empty[ManifestEntry])
-      else {
-        val statsByDir = safeBatchedStats(spark,
-          fastOk.map(e => bucketDir(out, e.bucket)).filter(listDataFiles(_).nonEmpty))
-        fastOk.partition { e =>
-          val stats = statsByDir.getOrElse(s"bucket=${e.bucket}", Seq.empty)
-          combinedHash(stats) == e.content_hash &&
-            stats.map(s => (s._1, s._3)) == e.files.zip(e.file_hashes)
-        }
-      }
-    val invalid = fastBad ++ deepBad
+    val (valid, invalid) = verifyEntries(spark, out, existing, deepVerify)
     invalid.foreach(e => deleteRecursively(dataDir.resolve(s"bucket=${e.bucket}")))
     // Resume-side half of the layout guard: a bucket being RE-extracted whose prior
     // manifest entry recorded rows > 0 must not stage empty — that is the silent-loss
@@ -171,9 +169,9 @@ object SnapshotSink {
     val mustBeNonEmpty = invalid.filter(_.rows > 0).map(_.bucket).toSet
     var manifest = valid.sortBy(_.bucket)
     val committed = valid.map(_.bucket).toSet
-    val todo = (0 until nBuckets).filterNot(committed)
+    val todo = (0L until nBuckets).filterNot(committed)
 
-    val processed = Seq.newBuilder[Int]
+    val processed = Seq.newBuilder[Long]
     var totalRows = 0L
     val waves = todo.grouped(waveSize).toSeq
 
@@ -186,10 +184,14 @@ object SnapshotSink {
       // bucket-PARTITIONED source this is a partition filter — the scan itself reads
       // only the wave's buckets (SnapshotResumeSpec asserts PartitionFilters + the
       // pruned partition count); otherwise it prunes post-scan.
+      // Int literals, not Long: batch bucket ids always fit (< nBuckets), and a Long
+      // literal would type-coerce the int `bucket` partition column through a cast,
+      // defeating the scan-level partition pruning this filter exists for.
+      val waveInts = wave.map(_.toInt)
       val docsW =
         if (docs.columns.contains("bucket"))
-          docs.filter(col("bucket").isin(wave: _*)).drop("bucket")
-        else docs.filter(bucketOf(col("doc_id"), nBuckets).isin(wave: _*))
+          docs.filter(col("bucket").isin(waveInts: _*)).drop("bucket")
+        else docs.filter(bucketOf(col("doc_id"), nBuckets).isin(waveInts: _*))
       val flat = ExtractPipeline.extractFlat(docsW, config)
         .withColumn("bucket", bucketOf(col("doc_id"), nBuckets))
       val (newManifest, waveRows) =
@@ -230,21 +232,28 @@ object SnapshotSink {
    * through the SAME wave-commit protocol as the batch sink (staging write ->
    * re-read metrics -> atomic per-bucket publish -> distributed hash -> manifest
    * republish). Manifest/bucket ids are composited as `batchId * nBuckets + bucket`
-   * so batches never collide; a RE-DELIVERED batchId (foreachBatch replays the last
-   * uncommitted batch after a crash) finds its ids already committed and verifying,
-   * and skips them — the streaming form of resume's committed-bucket skip
-   * (StreamingExtractSpec). Returns the composite ids actually committed.
+   * (Long arithmetic — no lifetime cap from Int overflow) so batches never collide;
+   * a RE-DELIVERED batchId (foreachBatch replays the last uncommitted batch after a
+   * crash) finds its ids already committed and verifying, and skips them — the
+   * streaming form of resume's committed-bucket skip (StreamingExtractSpec). The
+   * skip check runs the SAME two verification tiers as the batch [[run]]:
+   * names+sizes metadata, then (deepVerify=true, the default) the distributed
+   * per-file md5 job — so in-place corruption with preserved sizes re-extracts
+   * instead of being silently skipped, on both paths alike (ADVICE r3). Returns the
+   * composite ids actually committed.
    */
   def commitStreamBatch(
-      flat: DataFrame, outDir: String, batchId: Long, nBuckets: Int = 8): Seq[Int] = {
+      flat: DataFrame, outDir: String, batchId: Long,
+      nBuckets: Int = DefaultBuckets, deepVerify: Boolean = true): Seq[Long] = {
     val spark = flat.sparkSession
     val out = Paths.get(outDir)
     Files.createDirectories(out.resolve("data"))
-    val base = math.toIntExact(batchId * nBuckets)
+    val base = batchId * nBuckets
     val ids = (base until base + nBuckets)
     val existing = readManifest(spark, outDir)
-    val committed = existing
-      .filter(e => ids.contains(e.bucket) && fastVerify(out, e)).map(_.bucket).toSet
+    val (valid, _) = verifyEntries(spark, out,
+      existing.filter(e => ids.contains(e.bucket)), deepVerify)
+    val committed = valid.map(_.bucket).toSet
     val todo = ids.filterNot(committed)
     if (todo.isEmpty) return Seq.empty
     // drop any stale (failed-verify) entries for the ids being rewritten
@@ -255,6 +264,28 @@ object SnapshotSink {
       .filter(col("bucket").isin(todo: _*))
     commitWaveFlat(spark, out, withBucket, todo, kept, System.nanoTime())
     todo
+  }
+
+  /** The two verification tiers shared by batch [[run]] and [[commitStreamBatch]]:
+    * tier 1 = driver-side names+sizes metadata ([[fastVerify]]); tier 2 (deep) =
+    * ONE batched distributed job re-hashing every tier-1-passing bucket's bytes and
+    * comparing per-file md5s + the combined digest. Returns (valid, invalid). */
+  private def verifyEntries(
+      spark: SparkSession, out: Path, entries: Seq[ManifestEntry],
+      deepVerify: Boolean): (Seq[ManifestEntry], Seq[ManifestEntry]) = {
+    val (fastOk, fastBad) = entries.partition(e => fastVerify(out, e))
+    val (valid, deepBad) =
+      if (!deepVerify || fastOk.isEmpty) (fastOk, Seq.empty[ManifestEntry])
+      else {
+        val statsByDir = safeBatchedStats(spark,
+          fastOk.map(e => bucketDir(out, e.bucket)).filter(listDataFiles(_).nonEmpty))
+        fastOk.partition { e =>
+          val stats = statsByDir.getOrElse(s"bucket=${e.bucket}", Seq.empty)
+          combinedHash(stats) == e.content_hash &&
+            stats.map(s => (s._1, s._3)) == e.files.zip(e.file_hashes)
+        }
+      }
+    (valid, fastBad ++ deepBad)
   }
 
   // ---- protocol internals -------------------------------------------------------
@@ -271,10 +302,10 @@ object SnapshotSink {
       spark: SparkSession,
       out: Path,
       flat: DataFrame,
-      wave: Seq[Int],
+      wave: Seq[Long],
       manifest0: Seq[ManifestEntry],
       t0: Long,
-      expectNonEmpty: Set[Int] = Set.empty): (Seq[ManifestEntry], Long) = {
+      expectNonEmpty: Set[Long] = Set.empty): (Seq[ManifestEntry], Long) = {
     val dataDir = out.resolve("data")
     val staging = out.resolve("staging")
     deleteRecursively(staging)
@@ -294,16 +325,18 @@ object SnapshotSink {
     // schema-inference errors, so record zero-metrics entries instead: an empty
     // bucket is a legal committed state (resume of an empty bucket, re-delivered
     // stream batch whose rows all verified elsewhere).
-    val metrics: Map[Int, org.apache.spark.sql.Row] =
+    val metrics: Map[Long, org.apache.spark.sql.Row] =
       if (listPartitionDirs(staging).isEmpty) Map.empty
       else spark.read.parquet(staging.toString)
-        .groupBy(col("bucket"))
+        // partition-column type is INFERRED from the directory names (int for small
+        // batch ids, long once composite stream ids grow) — normalize to long
+        .groupBy(col("bucket").cast("long").as("bucket"))
         .agg(SpanMetricsAgg.spanMetrics(
           col("kind"), col("ok"), col("error"), col("text"),
           col("n_words"), col("conf_sum")).as("m"))
         .select(col("bucket"), col("m.*"))
         .collect()
-        .map(r => r.getInt(0) -> r).toMap
+        .map(r => r.getLong(0) -> r).toMap
     // Stray-bucket gate: every staged bucket id must belong to the committing
     // wave. flat's `bucket` is recomputed from doc_id here, so if the INPUT's
     // bucket column (which selected the wave's documents) disagrees with
@@ -367,7 +400,7 @@ object SnapshotSink {
     (manifest, waveRows)
   }
 
-  private def bucketDir(out: Path, bucket: Int): Path =
+  private def bucketDir(out: Path, bucket: Long): Path =
     out.resolve("data").resolve(s"bucket=$bucket")
 
   /**

@@ -35,7 +35,7 @@ class SnapshotResumeSpec extends AnyFunSuite {
       .map(_.mkString(""))
       .sorted.toSeq
 
-  private def bucketBytes(outDir: String, bucket: Int): Map[String, Seq[Byte]] = {
+  private def bucketBytes(outDir: String, bucket: Long): Map[String, Seq[Byte]] = {
     val dir = Paths.get(outDir, "data", s"bucket=$bucket")
     import scala.jdk.CollectionConverters._
     Files.list(dir).iterator().asScala

@@ -76,7 +76,7 @@ class StreamingExtractSpec extends AnyFunSuite {
     // re-committed, the others' bytes untouched (committed-bucket skip, streaming)
     val ids = manifest.map(_.bucket).sorted
     val victim = ids.head
-    def bytes(b: Int): Map[String, Long] = {
+    def bytes(b: Long): Map[String, Long] = {
       import scala.jdk.CollectionConverters._
       val s = java.nio.file.Files.list(Paths.get(out, "data", s"bucket=$b"))
       try s.iterator().asScala.filter(p => java.nio.file.Files.isRegularFile(p))
@@ -87,6 +87,23 @@ class StreamingExtractSpec extends AnyFunSuite {
     SnapshotSink.deleteRecursively(Paths.get(out, "data", s"bucket=$victim"))
     assert(SnapshotSink.commitStreamBatch(flat0, out, batchId = 0L) === Seq(victim))
     ids.tail.foreach(b => assert(bytes(b) === before(b), s"bucket $b"))
+    assert(canon(SnapshotSink.readBack(spark, out)) === batch)
+
+    // deep-verify parity with the batch path (ADVICE r3): in-place corruption that
+    // PRESERVES file size passes the metadata tier; the re-delivered batch must still
+    // re-extract the bucket via the distributed content-hash tier, not skip it
+    val deepVictim = ids.last
+    val dataFile = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(Paths.get(out, "data", s"bucket=$deepVictim"))
+      try s.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq.head
+      finally s.close()
+    }
+    val raw = java.nio.file.Files.readAllBytes(dataFile)
+    raw(raw.length / 2) = (raw(raw.length / 2) ^ 0x01).toByte
+    java.nio.file.Files.write(dataFile, raw) // same size, different bytes
+    assert(SnapshotSink.commitStreamBatch(flat0, out, batchId = 0L) === Seq(deepVictim))
     assert(canon(SnapshotSink.readBack(spark, out)) === batch)
   }
 
