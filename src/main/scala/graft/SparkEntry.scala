@@ -75,6 +75,19 @@ object SparkEntry {
   private def documents(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** Committed-signature-table location for `neardup_pairs`: keyed by corpus
+    * identity (source-parquet fingerprint) AND signature format version, so a
+    * changed corpus or algorithm change can never serve stale signatures — the
+    * staleness contract [[graft.sources.TableSnapshot]] documents. A repeat run over
+    * the same corpus resumes: verified buckets are read back, not recomputed. */
+  private def sigDirFor(dir: String): String = {
+    val fp = Interleave.sourceFingerprint(
+      java.nio.file.Paths.get(dir, "documents.parquet"))
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-sig-" + dir.replaceAll("[^a-z0-9.]", "-")
+        + s"-v${Dedup.SigFormatVersion}-$fp").toString
+  }
+
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
@@ -186,7 +199,8 @@ object SparkEntry {
       Dedup.minhashBands(Dedup.withMutants(documents(s, dir)))
         .orderBy(col("doc_id"), col("band"))),
     "neardup_pairs" -> ((s, dir) =>
-      Dedup.neardupPairs(Dedup.withMutants(documents(s, dir)))),
+      Dedup.neardupPairsCommitted(Dedup.withMutants(documents(s, dir)),
+        sigDirFor(dir))),
     "simhash" -> ((s, dir) =>
       Dedup.simhash(Dedup.withMutants(documents(s, dir)))),
     "simhash_pairs" -> ((s, dir) =>

@@ -97,6 +97,41 @@ object Dedup {
         explode(graft.functions.MinHashBandsExpr(col("text"))).as("bs"))
       .select(col("doc_id"), col("bs.band"), col("bs.band_hash"))
 
+  /** Signature-table format version — bumped with any change to [[NumPerms]],
+    * [[BandWidth]], [[ShingleN]], or the signature hash; part of the committed
+    * signature directory key so stale tables can never be read. */
+  val SigFormatVersion = 1
+
+  /** Bucket count for the committed signature table (more than the extraction
+    * sink's default: signatures are cheap to re-derive per bucket, so finer resume
+    * granularity is nearly free). */
+  val SigBuckets = 16
+
+  /**
+   * MinHash band signatures committed through the snapshot protocol
+   * ([[graft.sources.TableSnapshot]] — VERDICT r3 #4): written+manifested like
+   * extraction output, so (a) a rerun over the same corpus SKIPS verified buckets
+   * and reads parquet instead of re-hashing every shingle, (b) an executor/host loss
+   * costs a bucket re-derive, not the job (localCheckpoint blocks are
+   * non-replicated), and (c) the signature table has lineage. The bucket key is
+   * hash-derived (never `doc_id % n` — modulus-sampled inputs would populate only
+   * gcd residues). `sigDir` MUST be keyed by corpus identity + [[SigFormatVersion]]
+   * by the caller (see [[graft.SparkEntry]]): a reused directory over a changed
+   * corpus serves stale signatures with a valid manifest.
+   */
+  def committedBands(docs: DataFrame, sigDir: String,
+      nBuckets: Int = SigBuckets): DataFrame = {
+    val withBucket = minhashBands(docs)
+      .withColumn("bucket", pmod(hash(col("doc_id")), lit(nBuckets)).cast("int"))
+    graft.sources.TableSnapshot.run(withBucket, sigDir, nBuckets)
+    graft.sources.TableSnapshot.readBack(docs.sparkSession, sigDir).drop("bucket")
+  }
+
+  /** [[neardupPairs]] over a COMMITTED signature table — the standing production
+    * form (registered as the `neardup_pairs` query). */
+  def neardupPairsCommitted(docs: DataFrame, sigDir: String): DataFrame =
+    neardupFrom(committedBands(docs, sigDir), docs)
+
   /** LSH candidate pairs -> exact-Jaccard verification over distinct 3-gram shingle
     * sets; keeps pairs with jaccard >= 0.5. Output (doc_a, doc_b, jaccard_e6).
     *
@@ -106,15 +141,16 @@ object Dedup {
     * corpus — without it, every shingle of every document shuffles into the verify
     * join even when LSH produced a handful of candidates (VERDICT r1). */
   def neardupPairs(docs: DataFrame): DataFrame = {
-    // Signatures are MATERIALIZED once (localCheckpoint truncates the lineage): the
-    // banded self-join and the candidate-id derivation below would otherwise each
-    // re-evaluate the md5-heavy signature expression over the whole corpus — at
-    // production scale the signature table is written out exactly like this (it is
-    // per-doc metadata, ~100 bytes/doc, vs re-hashing every shingle per consumer).
-    // eager=false: merely CONSTRUCTING this DataFrame (PlanSpec, plan_only audits)
-    // must not execute the signature job as a side effect; the checkpoint
-    // materializes at the first real action (ADVICE r2)
+    // Ad-hoc/test form: signatures materialized per-session (localCheckpoint
+    // truncates the lineage so the self-join + candidate derivation do not re-run
+    // the md5-heavy signature expression; eager=false so plan-only audits do not
+    // execute it). The standing form is [[neardupPairsCommitted]], where the
+    // signature table is durable parquet under the snapshot protocol.
     val bands0 = minhashBands(docs).localCheckpoint(eager = false)
+    neardupFrom(bands0, docs)
+  }
+
+  private def neardupFrom(bands0: DataFrame, docs: DataFrame): DataFrame = {
     // degenerate-bucket cap (VERDICT r3 #1): a template family collapsing onto one
     // (band, band_hash) would emit m²/2 pairs inside a single join key
     val bands = dropOversized(bands0, Seq("band", "band_hash"))

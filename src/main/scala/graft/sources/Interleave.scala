@@ -178,8 +178,9 @@ object Interleave {
   }
 
   /** Cheap content fingerprint of a parquet file/dir: md5 over (name, size, mtime)
-    * of every regular file under it — metadata-only, no byte reads. */
-  private def sourceFingerprint(p: java.nio.file.Path): String = {
+    * of every regular file under it — metadata-only, no byte reads. Shared with
+    * SparkEntry's committed-signature-table directory keying. */
+  private[graft] def sourceFingerprint(p: java.nio.file.Path): String = {
     import scala.jdk.CollectionConverters._
     require(java.nio.file.Files.exists(p),
       s"corpus source parquet not found: $p (expected <sfDir>/documents.parquet)")

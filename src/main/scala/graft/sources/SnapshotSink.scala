@@ -273,7 +273,7 @@ object SnapshotSink {
     * tier 1 = driver-side names+sizes metadata ([[fastVerify]]); tier 2 (deep) =
     * ONE batched distributed job re-hashing every tier-1-passing bucket's bytes and
     * comparing per-file md5s + the combined digest. Returns (valid, invalid). */
-  private def verifyEntries(
+  private[sources] def verifyEntries(
       spark: SparkSession, out: Path, entries: Seq[ManifestEntry],
       deepVerify: Boolean): (Seq[ManifestEntry], Seq[ManifestEntry]) = {
     val (fastOk, fastBad) = entries.partition(e => fastVerify(out, e))
@@ -301,7 +301,14 @@ object SnapshotSink {
    * distributed job, and republish the manifest. Returns (updated manifest, rows
    * committed this wave).
    */
-  private def commitWaveFlat(
+  /** Per-bucket lineage metrics recorded in a wave commit. Extraction waves fill all
+    * fields from [[SpanMetricsAgg]]; generic table commits ([[TableSnapshot]]) carry
+    * row counts only, zeros elsewhere — one manifest format for both. */
+  private[sources] final case class WaveMetrics(
+      rows: Long, nMedia: Long = 0L, nText: Long = 0L, nErr: Long = 0L,
+      ocrChars: Long = 0L, nWords: Long = 0L, confSum: Double = 0.0)
+
+  private[sources] def commitWaveFlat(
       spark: SparkSession,
       out: Path,
       flat: DataFrame,
@@ -309,7 +316,9 @@ object SnapshotSink {
       manifest0: Seq[ManifestEntry],
       t0: Long,
       expectNonEmpty: Set[Long] = Set.empty,
-      io: CommitIo = PosixCommitIo): (Seq[ManifestEntry], Long) = {
+      io: CommitIo = PosixCommitIo,
+      layoutCols: Seq[String] = Seq("bucket", "doc_id", "offset"),
+      spanMetrics: Boolean = true): (Seq[ManifestEntry], Long) = {
     val dataDir = out.resolve("data")
     val staging = out.resolve("staging")
     deleteRecursively(staging)
@@ -320,7 +329,7 @@ object SnapshotSink {
     // file sizes balance by sampled distribution, and the trailing `offset` key
     // splits a pathological multi-page document across tasks instead of pinning
     // its whole span set to one writer (the write-side form of salting).
-    flat.repartitionByRange(col("bucket"), col("doc_id"), col("offset"))
+    flat.repartitionByRange(layoutCols.map(col): _*)
       .write.partitionBy("bucket").mode("overwrite").parquet(staging.toString)
 
     // verify + lineage by re-reading what was written (write-path corruption
@@ -329,18 +338,31 @@ object SnapshotSink {
     // schema-inference errors, so record zero-metrics entries instead: an empty
     // bucket is a legal committed state (resume of an empty bucket, re-delivered
     // stream batch whose rows all verified elsewhere).
-    val metrics: Map[Long, org.apache.spark.sql.Row] =
+    val metrics: Map[Long, WaveMetrics] =
       if (listPartitionDirs(staging).isEmpty) Map.empty
-      else spark.read.parquet(staging.toString)
+      else {
         // partition-column type is INFERRED from the directory names (int for small
         // batch ids, long once composite stream ids grow) — normalize to long
-        .groupBy(col("bucket").cast("long").as("bucket"))
-        .agg(SpanMetricsAgg.spanMetrics(
-          col("kind"), col("ok"), col("error"), col("text"),
-          col("n_words"), col("conf_sum")).as("m"))
-        .select(col("bucket"), col("m.*"))
-        .collect()
-        .map(r => r.getLong(0) -> r).toMap
+        val staged = spark.read.parquet(staging.toString)
+        if (spanMetrics)
+          staged
+            .groupBy(col("bucket").cast("long").as("bucket"))
+            .agg(SpanMetricsAgg.spanMetrics(
+              col("kind"), col("ok"), col("error"), col("text"),
+              col("n_words"), col("conf_sum")).as("m"))
+            .select(col("bucket"), col("m.*"))
+            .collect()
+            .map(r => r.getLong(0) -> WaveMetrics(
+              rows = r.getLong(1), nMedia = r.getLong(2), nText = r.getLong(3),
+              nErr = r.getLong(4), ocrChars = r.getLong(5), nWords = r.getLong(6),
+              confSum = r.getDouble(7))).toMap
+        else
+          staged
+            .groupBy(col("bucket").cast("long").as("bucket"))
+            .agg(count(lit(1)).as("rows"))
+            .collect()
+            .map(r => r.getLong(0) -> WaveMetrics(rows = r.getLong(1))).toMap
+      }
     // Stray-bucket gate: every staged bucket id must belong to the committing
     // wave. flat's `bucket` is recomputed from doc_id here, so if the INPUT's
     // bucket column (which selected the wave's documents) disagrees with
@@ -381,30 +403,30 @@ object SnapshotSink {
     var waveRows = 0L
     wave.foreach { b =>
       val stats = waveStats.getOrElse(s"bucket=$b", Seq.empty)
-      val m = metrics.get(b)
+      val m = metrics.getOrElse(b, WaveMetrics(rows = 0L))
       manifest = (manifest :+ ManifestEntry(
         bucket = b,
-        rows = m.map(_.getLong(1)).getOrElse(0L),
+        rows = m.rows,
         content_hash = combinedHash(stats),
         files = stats.map(_._1),
         file_sizes = stats.map(_._2),
         file_hashes = stats.map(_._3),
         engine_version = graft.operators.DeterministicOcrEngine.Version,
-        n_spans = m.map(_.getLong(1)).getOrElse(0L),
-        n_media = m.map(_.getLong(2)).getOrElse(0L),
-        n_text = m.map(_.getLong(3)).getOrElse(0L),
-        n_err = m.map(_.getLong(4)).getOrElse(0L),
-        ocr_chars = m.map(_.getLong(5)).getOrElse(0L),
-        n_words = m.map(_.getLong(6)).getOrElse(0L),
-        conf_sum = m.map(_.getDouble(7)).getOrElse(0.0),
+        n_spans = m.rows,
+        n_media = m.nMedia,
+        n_text = m.nText,
+        n_err = m.nErr,
+        ocr_chars = m.ocrChars,
+        n_words = m.nWords,
+        conf_sum = m.confSum,
         wall_ms = wallMs)).sortBy(_.bucket)
-      waveRows += m.map(_.getLong(1)).getOrElse(0L)
+      waveRows += m.rows
     }
     writeManifest(out, manifest, io)
     (manifest, waveRows)
   }
 
-  private def bucketDir(out: Path, bucket: Long): Path =
+  private[sources] def bucketDir(out: Path, bucket: Long): Path =
     out.resolve("data").resolve(s"bucket=$bucket")
 
   /**

@@ -1,0 +1,78 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Generic committed-TABLE form of the snapshot protocol (VERDICT r3 #4): per-document
+ * derived tables — dedup signatures, term frequencies — written and manifested with
+ * the SAME staged-write -> re-read -> verify -> atomic-publish -> distributed-hash ->
+ * manifest-republish cycle as extraction output ([[SnapshotSink]] internals, reused,
+ * with rows-only lineage metrics).
+ *
+ * Why this exists: the dedup pipeline materialized its signature table with
+ * `localCheckpoint` — executor-local, non-replicated blocks that are correct on one
+ * machine but turn an executor loss into a job failure at cluster scale, and that
+ * leave the signatures outside the lineage story. Committing them here gives (a)
+ * durability — a rerun SKIPS verified buckets and reads committed parquet instead of
+ * recomputing md5-heavy signatures over the corpus, (b) the same two-tier
+ * verification and invalidate->heal resume as extraction, and (c) manifest lineage
+ * (row counts, per-file hashes) for every derived table.
+ *
+ * The input must carry a `bucket` column in [0, nBuckets) — callers derive it from a
+ * HASH of the id (never `id % n`: a modulus-sampled input would populate only
+ * gcd-compatible residues). STALENESS is the caller's contract: the output directory
+ * must be keyed by the identity of the inputs (source fingerprint + algorithm
+ * version), exactly like [[Interleave.materializedDocs]] — a reused directory over
+ * changed inputs would serve stale rows with a perfectly valid manifest.
+ */
+object TableSnapshot {
+
+  /** Commit (or resume) `df` into `outDir`; one wave per `waveSize` buckets.
+    * Returns the same report shape as the extraction sink. */
+  def run(
+      df: DataFrame,
+      outDir: String,
+      nBuckets: Int = SnapshotSink.DefaultBuckets,
+      waveSize: Int = SnapshotSink.DefaultBuckets,
+      deepVerify: Boolean = true,
+      io: CommitIo = PosixCommitIo): SnapshotSink.SnapshotReport = {
+    require(df.columns.contains("bucket"), "TableSnapshot input needs a `bucket` column")
+    val spark = df.sparkSession
+    val out = Paths.get(outDir)
+    Files.createDirectories(out.resolve("data"))
+
+    val existing = SnapshotSink.readManifest(spark, outDir)
+    val (valid, invalid) = SnapshotSink.verifyEntries(spark, out, existing, deepVerify)
+    invalid.foreach(e => SnapshotSink.deleteRecursively(
+      SnapshotSink.bucketDir(out, e.bucket)))
+    val mustBeNonEmpty = invalid.filter(_.rows > 0).map(_.bucket).toSet
+    var manifest = valid.sortBy(_.bucket)
+    val committed = valid.map(_.bucket).toSet
+    val todo = (0L until nBuckets).filterNot(committed)
+
+    val processed = Seq.newBuilder[Long]
+    var totalRows = 0L
+    todo.grouped(waveSize).foreach { wave =>
+      val t0 = System.nanoTime()
+      val waveDf = df.filter(col("bucket").isin(wave.map(_.toInt): _*))
+      val (newManifest, waveRows) = SnapshotSink.commitWaveFlat(
+        spark, out, waveDf, wave, manifest, t0,
+        expectNonEmpty = mustBeNonEmpty.intersect(wave.toSet), io = io,
+        layoutCols = Seq("bucket") ++ df.columns.find(_ != "bucket").toSeq,
+        spanMetrics = false)
+      manifest = newManifest
+      processed ++= wave
+      totalRows += waveRows
+    }
+    SnapshotSink.deleteRecursively(out.resolve("staging"))
+    SnapshotSink.SnapshotReport(processed.result(), valid.map(_.bucket).sorted,
+      invalid.map(_.bucket).sorted, totalRows)
+  }
+
+  /** Read the committed table back (original schema + bucket partition column). */
+  def readBack(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(Paths.get(outDir).resolve("data").toString)
+}
