@@ -21,25 +21,33 @@ import org.apache.spark.unsafe.types.UTF8String
  * differentially, and the DuckDB oracles (which compute the expected words/geometry
  * INDEPENDENTLY of any parser) are unchanged.
  *
- * Grammar accepted = exactly what [[HocrAlto.toHocr]] / [[HocrAlto.toAlto]] emit
- * (fixed attribute order); a word element whose tail deviates is skipped, mirroring
- * a failed regex match. ASCII scanning is UTF-8-safe: every marker byte is < 0x80
- * and multi-byte sequences never contain ASCII bytes.
+ * Grammar accepted (VERDICT r3 #7 — tolerant attribute ORDER): an hOCR word is any
+ * `<span>` whose `class` attribute carries the token `ocrx_word` and whose `title`
+ * contains BOTH a `bbox x0 y0 x1 y1` and an `x_wconf n` property, attributes and
+ * title properties in ANY order, either quote style, unknown attributes/properties
+ * skipped — matching how real-world hOCR emitters vary. An ALTO word is any
+ * `<String>` element carrying all six of CONTENT/HPOS/VPOS/WIDTH/HEIGHT/WC, any
+ * attribute order, unknown attributes skipped. An element missing a required part
+ * (or with a non-integer where geometry is expected) is skipped, mirroring a failed
+ * regex match — never a throw (ANSI mode makes the regex reference forms throw on
+ * malformed fragments; the scanners are strictly more robust). ASCII scanning is
+ * UTF-8-safe: every marker byte is < 0x80 and multi-byte sequences never contain
+ * ASCII bytes.
  */
 object HocrAltoOps {
 
   private def ascii(s: String): Array[Byte] = s.getBytes("US-ASCII")
 
-  private val HocrMarker = ascii("<span class='ocrx_word' title='bbox ")
-  private val HocrConf = ascii("; x_wconf ")
-  private val HocrClose = ascii("'>")
-  private val AltoMarker = ascii("<String CONTENT=\"")
-  private val AltoHpos = ascii("\" HPOS=\"")
-  private val AltoVpos = ascii("\" VPOS=\"")
-  private val AltoWidth = ascii("\" WIDTH=\"")
-  private val AltoHeight = ascii("\" HEIGHT=\"")
-  private val AltoWc = ascii("\" WC=\"")
-  private val AltoEnd = ascii("\"/>")
+  private val SpanOpen = ascii("<span")
+  private val ClassName = ascii("class")
+  private val TitleName = ascii("title")
+  private val OcrxWord = ascii("ocrx_word")
+  private val BboxProp = ascii("bbox ")
+  private val WconfProp = ascii("x_wconf ")
+  private val StringOpen = ascii("<String")
+  private val AltoNames: Array[Array[Byte]] = Array(
+    ascii("CONTENT"), ascii("HPOS"), ascii("VPOS"),
+    ascii("WIDTH"), ascii("HEIGHT"), ascii("WC"))
 
   private def indexOf(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
     val limit = hay.length - needle.length
@@ -80,37 +88,136 @@ object HocrAltoOps {
   private def intVal(p: Long): Int = (p >>> 32).toInt
   private def intPos(p: Long): Int = p.toInt
 
+  private def isSpace(c: Byte): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r'
+
+  private def rangeEquals(
+      hay: Array[Byte], from: Int, until: Int, needle: Array[Byte]): Boolean = {
+    if (until - from != needle.length) return false
+    var j = 0
+    while (j < needle.length) {
+      if (hay(from + j) != needle(j)) return false
+      j += 1
+    }
+    true
+  }
+
+  /** Does the space-delimited token list in hay[from, until) contain `token`?
+    * (hOCR `class` may carry several tokens, e.g. "ocrx_word highlight".) */
+  private def hasToken(
+      hay: Array[Byte], from: Int, until: Int, token: Array[Byte]): Boolean = {
+    var i = from
+    while (i < until) {
+      while (i < until && isSpace(hay(i))) i += 1
+      var e = i
+      while (e < until && !isSpace(hay(e))) e += 1
+      if (rangeEquals(hay, i, e, token)) return true
+      i = e
+    }
+    false
+  }
+
+  /** Generic in-tag attribute walk shared by both scanners. Starting just after the
+    * tag name, repeatedly parses `name=<q>value<q>` (q = ' or "), invoking `found`
+    * with the name range and value range; unknown attributes are skipped by the
+    * caller's `found`. Returns the position just after the closing `>` (packed with
+    * the self-closed flag in bit 62), or -1 on malformed input. */
+  private def walkAttrs(
+      b: Array[Byte], start: Int,
+      found: (Int, Int, Int, Int) => Unit): Long = {
+    var pos = start
+    while (true) {
+      while (pos < b.length && isSpace(b(pos))) pos += 1
+      if (pos >= b.length) return -1L
+      if (b(pos) == '>') return (pos + 1).toLong
+      if (b(pos) == '/' && pos + 1 < b.length && b(pos + 1) == '>')
+        return (1L << 62) | (pos + 2).toLong
+      val nameFrom = pos
+      while (pos < b.length && b(pos) != '=' && b(pos) != '>' && !isSpace(b(pos)))
+        pos += 1
+      if (pos >= b.length || b(pos) != '=') return -1L
+      val nameUntil = pos
+      pos += 1
+      if (pos >= b.length || (b(pos) != '\'' && b(pos) != '"')) return -1L
+      val q = b(pos)
+      pos += 1
+      val valFrom = pos
+      while (pos < b.length && b(pos) != q) pos += 1
+      if (pos >= b.length) return -1L
+      found(nameFrom, nameUntil, valFrom, pos)
+      pos += 1
+    }
+    -1L // unreachable
+  }
+
+  /** Parse the hOCR `title` property list in hay[from, until): semicolon-separated
+    * properties, `bbox x0 y0 x1 y1` and `x_wconf n` in ANY order, unknown properties
+    * skipped. Returns null unless both are present and well-formed. */
+  private def parseTitle(b: Array[Byte], from: Int, until: Int): Array[Int] = {
+    var p = from
+    var haveBbox = false
+    var haveConf = false
+    val out = new Array[Int](5)
+    while (p < until) {
+      while (p < until && (isSpace(b(p)) || b(p) == ';')) p += 1
+      if (p >= until) return if (haveBbox && haveConf) out else null
+      if (startsWith(b, BboxProp, p)) {
+        p += BboxProp.length
+        var k = 0
+        while (k < 4) {
+          while (p < until && b(p) == ' ') p += 1
+          val v = parseInt(b, p)
+          if (v < 0 || intPos(v) > until) return null
+          out(k) = intVal(v)
+          p = intPos(v)
+          k += 1
+        }
+        haveBbox = true
+      } else if (startsWith(b, WconfProp, p)) {
+        val v = parseInt(b, p + WconfProp.length)
+        if (v < 0 || intPos(v) > until) return null
+        out(4) = intVal(v)
+        p = intPos(v)
+        haveConf = true
+      } else {
+        while (p < until && b(p) != ';') p += 1 // unknown property: skip
+      }
+    }
+    if (haveBbox && haveConf) out else null
+  }
+
   /** One-pass hOCR scan -> array<struct<word,x0,y0,x1,y1,conf>>. */
   def parseHocr(page: UTF8String): ArrayData = {
     val b = page.getBytes
     val rows = new java.util.ArrayList[Any](16)
-    var at = indexOf(b, HocrMarker, 0)
+    var at = indexOf(b, SpanOpen, 0)
     while (at >= 0) {
-      var ok = true
-      var pos = at + HocrMarker.length
-      var x0 = 0; var y0 = 0; var x1 = 0; var y1 = 0; var conf = 0
-      var wordFrom = 0; var wordUntil = 0
-
-      var p = parseInt(b, pos)
-      if (p < 0) ok = false else { x0 = intVal(p); pos = intPos(p) }
-      if (ok && (pos >= b.length || b(pos) != ' ')) ok = false
-      if (ok) { p = parseInt(b, pos + 1); if (p < 0) ok = false else { y0 = intVal(p); pos = intPos(p) } }
-      if (ok && (pos >= b.length || b(pos) != ' ')) ok = false
-      if (ok) { p = parseInt(b, pos + 1); if (p < 0) ok = false else { x1 = intVal(p); pos = intPos(p) } }
-      if (ok && (pos >= b.length || b(pos) != ' ')) ok = false
-      if (ok) { p = parseInt(b, pos + 1); if (p < 0) ok = false else { y1 = intVal(p); pos = intPos(p) } }
-      if (ok && !startsWith(b, HocrConf, pos)) ok = false
-      if (ok) { p = parseInt(b, pos + HocrConf.length); if (p < 0) ok = false else { conf = intVal(p); pos = intPos(p) } }
-      if (ok && !startsWith(b, HocrClose, pos)) ok = false
-      if (ok) {
-        wordFrom = pos + HocrClose.length
-        wordUntil = wordFrom
-        while (wordUntil < b.length && b(wordUntil) != '<') wordUntil += 1
-        rows.add(InternalRow(
-          UTF8String.fromBytes(b, wordFrom, wordUntil - wordFrom),
-          x0, y0, x1, y1, conf))
+      val start = at + SpanOpen.length
+      if (start < b.length && isSpace(b(start))) {
+        var classOk = false
+        var titleFrom = -1
+        var titleUntil = -1
+        val end = walkAttrs(b, start, (nf, nu, vf, vu) => {
+          if (rangeEquals(b, nf, nu, ClassName))
+            classOk = classOk || hasToken(b, vf, vu, OcrxWord)
+          else if (rangeEquals(b, nf, nu, TitleName)) {
+            titleFrom = vf; titleUntil = vu
+          }
+        })
+        val selfClosed = end >= 0 && (end & (1L << 62)) != 0
+        if (end >= 0 && !selfClosed && classOk && titleFrom >= 0) {
+          val geom = parseTitle(b, titleFrom, titleUntil)
+          if (geom != null) {
+            val wordFrom = (end & ~(1L << 62)).toInt
+            var wordUntil = wordFrom
+            while (wordUntil < b.length && b(wordUntil) != '<') wordUntil += 1
+            rows.add(InternalRow(
+              UTF8String.fromBytes(b, wordFrom, wordUntil - wordFrom),
+              geom(0), geom(1), geom(2), geom(3), geom(4)))
+          }
+        }
       }
-      at = indexOf(b, HocrMarker, at + HocrMarker.length)
+      at = indexOf(b, SpanOpen, at + SpanOpen.length)
     }
     new GenericArrayData(rows.toArray)
   }
@@ -119,33 +226,34 @@ object HocrAltoOps {
   def parseAlto(page: UTF8String): ArrayData = {
     val b = page.getBytes
     val rows = new java.util.ArrayList[Any](16)
-    var at = indexOf(b, AltoMarker, 0)
+    var at = indexOf(b, StringOpen, 0)
     while (at >= 0) {
-      var ok = true
-      var pos = at + AltoMarker.length
-      val wordFrom = pos
-      while (pos < b.length && b(pos) != '"') pos += 1
-      val wordUntil = pos
-      var hpos = 0; var vpos = 0; var width = 0; var height = 0; var wc = 0
-
-      def attr(marker: Array[Byte]): Int = {
-        if (!ok) return 0
-        if (!startsWith(b, marker, pos)) { ok = false; return 0 }
-        val p = parseInt(b, pos + marker.length)
-        if (p < 0) { ok = false; return 0 }
-        pos = intPos(p)
-        intVal(p)
+      val start = at + StringOpen.length
+      if (start < b.length && isSpace(b(start))) {
+        var mask = 0
+        var bad = false
+        var wordFrom = 0; var wordUntil = 0
+        val vals = new Array[Int](5) // hpos, vpos, width, height, wc
+        val end = walkAttrs(b, start, (nf, nu, vf, vu) => {
+          var k = 0
+          var matched = -1
+          while (matched < 0 && k < AltoNames.length) {
+            if (rangeEquals(b, nf, nu, AltoNames(k))) matched = k
+            k += 1
+          }
+          if (matched == 0) { wordFrom = vf; wordUntil = vu; mask |= 1 }
+          else if (matched > 0) {
+            val v = parseInt(b, vf)
+            if (v < 0 || intPos(v) != vu) bad = true // non-integer geometry
+            else { vals(matched - 1) = intVal(v); mask |= (1 << matched) }
+          } // unknown attribute: skipped
+        })
+        if (end >= 0 && !bad && mask == 0x3f)
+          rows.add(InternalRow(
+            UTF8String.fromBytes(b, wordFrom, wordUntil - wordFrom),
+            vals(0), vals(1), vals(2), vals(3), vals(4)))
       }
-      hpos = attr(AltoHpos)
-      vpos = attr(AltoVpos)
-      width = attr(AltoWidth)
-      height = attr(AltoHeight)
-      wc = attr(AltoWc)
-      if (ok && !startsWith(b, AltoEnd, pos)) ok = false
-      if (ok) rows.add(InternalRow(
-        UTF8String.fromBytes(b, wordFrom, wordUntil - wordFrom),
-        hpos, vpos, width, height, wc))
-      at = indexOf(b, AltoMarker, at + AltoMarker.length)
+      at = indexOf(b, StringOpen, at + StringOpen.length)
     }
     new GenericArrayData(rows.toArray)
   }

@@ -61,7 +61,7 @@ class HocrAltoSpec extends AnyFunSuite {
       "<TextLine></TextLine>"                                  -> (0, 0),
       "<String CONTENT=\"w\" HPOS=\"1\" VPOS=\"0\" WIDTH=\"8\" HEIGHT=\"12\" WC=\"50\"/>" -> (0, 1),
       "<String CONTENT=\"w\" HPOS=\"1\" VPOS=\"0\"/>"          -> (0, 0), // missing attrs
-      "<String CONTENT=\"w\" WC=\"50\" HPOS=\"1\"/>"           -> (0, 0)  // wrong order
+      "<String CONTENT=\"w\" WC=\"50\" HPOS=\"1\"/>"           -> (0, 0)  // still missing 3
     )
     val got = cases.map(_._1).toDF("page")
       .select(size(HocrAlto.parseHocr(col("page"))).as("h"),
@@ -77,5 +77,51 @@ class HocrAltoSpec extends AnyFunSuite {
       .toDF("page").select(explode(HocrAlto.parseAlto(col("page"))).as("w"))
       .select("w.*").as[(String, Int, Int, Int, Int, Int)].head()
     assert(a === (("w", 1, 0, 8, 12, 50)))
+  }
+
+  test("permuted attributes / quote styles parse identically (VERDICT r3 #7)") {
+    import spark.implicits._
+    val hocrExpected = ("ok", 0, 0, 8, 12, 77)
+    val hocrForms = Seq(
+      // canonical (what the builder emits)
+      "<span class='ocrx_word' title='bbox 0 0 8 12; x_wconf 77'>ok</span>",
+      // title properties swapped
+      "<span class='ocrx_word' title='x_wconf 77; bbox 0 0 8 12'>ok</span>",
+      // attributes swapped
+      "<span title='bbox 0 0 8 12; x_wconf 77' class='ocrx_word'>ok</span>",
+      // double quotes (the other real-world style)
+      "<span class=\"ocrx_word\" title=\"bbox 0 0 8 12; x_wconf 77\">ok</span>",
+      // multi-token class + unknown attributes + unknown title property
+      "<span id='w1' class='xx ocrx_word' lang='en' " +
+        "title='baseline 0 -2; bbox 0 0 8 12; x_wconf 77' dir='ltr'>ok</span>")
+    hocrForms.foreach { page =>
+      val got = Seq(page).toDF("page")
+        .select(explode(HocrAlto.parseHocr(col("page"))).as("w"))
+        .select("w.*").as[(String, Int, Int, Int, Int, Int)].collect().toSeq
+      assert(got === Seq(hocrExpected), s"hOCR form: $page")
+    }
+    // a self-closed span has no word text: skipped, never a phantom empty word
+    assert(Seq("<span class='ocrx_word' title='bbox 0 0 8 12; x_wconf 77'/>")
+      .toDF("page").select(size(HocrAlto.parseHocr(col("page")))).head.getInt(0) === 0)
+
+    val altoExpected = ("w", 1, 0, 8, 12, 50)
+    val altoForms = Seq(
+      "<String CONTENT=\"w\" HPOS=\"1\" VPOS=\"0\" WIDTH=\"8\" HEIGHT=\"12\" WC=\"50\"/>",
+      // fully reversed attribute order
+      "<String WC=\"50\" HEIGHT=\"12\" WIDTH=\"8\" VPOS=\"0\" HPOS=\"1\" CONTENT=\"w\"/>",
+      // unknown attributes interleaved (ID/STYLEREFS are standard ALTO)
+      "<String ID=\"s1\" CONTENT=\"w\" STYLEREFS=\"x\" HPOS=\"1\" VPOS=\"0\" " +
+        "WIDTH=\"8\" HEIGHT=\"12\" WC=\"50\"/>",
+      // non-self-closed element form
+      "<String CONTENT=\"w\" HPOS=\"1\" VPOS=\"0\" WIDTH=\"8\" HEIGHT=\"12\" WC=\"50\"></String>")
+    altoForms.foreach { page =>
+      val got = Seq(page).toDF("page")
+        .select(explode(HocrAlto.parseAlto(col("page"))).as("w"))
+        .select("w.*").as[(String, Int, Int, Int, Int, Int)].collect().toSeq
+      assert(got === Seq(altoExpected), s"ALTO form: $page")
+    }
+    // non-integer geometry: element skipped, not mis-parsed or thrown
+    assert(Seq("<String CONTENT=\"w\" HPOS=\"1.5\" VPOS=\"0\" WIDTH=\"8\" HEIGHT=\"12\" WC=\"50\"/>")
+      .toDF("page").select(size(HocrAlto.parseAlto(col("page")))).head.getInt(0) === 0)
   }
 }
