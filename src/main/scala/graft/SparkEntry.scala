@@ -75,18 +75,25 @@ object SparkEntry {
   private def documents(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
-  /** Committed-signature-table location for `neardup_pairs`: keyed by corpus
-    * identity (source-parquet fingerprint) AND signature format version, so a
-    * changed corpus or algorithm change can never serve stale signatures — the
-    * staleness contract [[graft.sources.TableSnapshot]] documents. A repeat run over
-    * the same corpus resumes: verified buckets are read back, not recomputed. */
-  private def sigDirFor(dir: String): String = {
+  /** Committed-derived-table location (the `neardup_pairs` signature table, the
+    * `top_terms` tf table): keyed by corpus identity (source-parquet fingerprint)
+    * AND the table's format version, so a changed corpus or algorithm change can
+    * never serve stale rows — the staleness contract [[graft.sources.TableSnapshot]]
+    * documents. A repeat run over the same corpus resumes: verified buckets are read
+    * back, not recomputed. */
+  private def derivedDir(dir: String, tag: String, version: Int): String = {
     val fp = Interleave.sourceFingerprint(
       java.nio.file.Paths.get(dir, "documents.parquet"))
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      "graft-sig-" + dir.replaceAll("[^a-z0-9.]", "-")
-        + s"-v${Dedup.SigFormatVersion}-$fp").toString
+      s"graft-$tag-" + dir.replaceAll("[^a-z0-9.]", "-")
+        + s"-v$version-$fp").toString
   }
+
+  private def sigDirFor(dir: String): String =
+    derivedDir(dir, "sig", Dedup.SigFormatVersion)
+
+  private def tfDirFor(dir: String): String =
+    derivedDir(dir, "tf", TextAnalysis.TfFormatVersion)
 
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
@@ -247,7 +254,8 @@ object SparkEntry {
     "token_stats" -> ((s, dir) => TextAnalysis.tokenStats(documents(s, dir))),
     "fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(documents(s, dir))),
     "term_df" -> ((s, dir) => TextAnalysis.termDf(documents(s, dir))),
-    "top_terms" -> ((s, dir) => TextAnalysis.topTerms(documents(s, dir))),
+    "top_terms" -> ((s, dir) =>
+      TextAnalysis.topTerms(documents(s, dir), tfStore = Some(tfDirFor(dir)))),
     // ---- training-data hygiene ----------------------------------------------------
     "repetition" -> ((s, dir) => graft.operators.Hygiene.repetition(documents(s, dir))),
     "decontaminate" -> ((s, dir) => graft.operators.Hygiene.decontaminate(documents(s, dir))),

