@@ -163,6 +163,75 @@ class SnapshotResumeSpec extends AnyFunSuite {
       s"wave scan read $nPart partitions, expected exactly 1 of $NB")
   }
 
+  test("range layout: a doc_id range predicate skips committed files via min/max stats") {
+    // Completes the pruning story from corpus scan to committed OUTPUT (VERDICT r3
+    // #6): commitWaveFlat's repartitionByRange(bucket, doc_id, offset) lays each
+    // bucket's data out as files covering disjoint doc_id ranges, so parquet
+    // row-group min/max statistics satisfy a doc_id range predicate for most files
+    // and the scan never materializes their rows (vectorized reader + pushed
+    // filters prune at row-group granularity; record-level filtering stays in the
+    // Filter operator, so the scan's numOutputRows metric IS the skipping evidence).
+    val out = tmpDir("rangeprune")
+    // At sf0.001 AQE coalesces the 32 range partitions into one tiny partition per
+    // bucket (64 MB advisory target), collapsing the multi-file-per-bucket layout
+    // this test exists to exercise; at production scale partitions are far above
+    // the advisory size and never merge. Disable coalescing for the WRITE only.
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val prevC = spark.conf.get(coalesceKey)
+    val prevS = spark.conf.get(shuffleKey)
+    try {
+      spark.conf.set(coalesceKey, "false")
+      spark.conf.set(shuffleKey, "64") // ~8 range partitions per bucket
+      SnapshotSink.run(docs, out, nBuckets = NB, waveSize = NB)
+    } finally {
+      spark.conf.set(coalesceKey, prevC)
+      spark.conf.set(shuffleKey, prevS)
+    }
+
+    // layout precondition: several data files per bucket (32 range partitions over
+    // NB=8 buckets), otherwise the file-skipping claim is vacuous
+    import scala.jdk.CollectionConverters._
+    val filesPerBucket = (0 until NB).map { b =>
+      val s = Files.list(Paths.get(out, "data", s"bucket=$b"))
+      try s.iterator().asScala
+        .count(_.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    // range boundaries are sample-driven, so a bucket can still land a single
+    // file at this scale — require the layout to be multi-file overall
+    assert(filesPerBucket.sum >= 2 * NB && filesPerBucket.count(_ > 1) >= NB - 2,
+      s"need a mostly multi-file-per-bucket layout for a pruning claim, " +
+        s"got $filesPerBucket")
+
+    val all = SnapshotSink.readBack(spark, out)
+    val total = all.count()
+    val hi = "doc-0000000000050" // first ~10% of the 500-doc corpus
+    val q = all.filter(col("doc_id") <= hi)
+
+    // the predicate reaches the parquet scan...
+    val fmt = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(fmt.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("doc_id")), fmt)
+
+    q.collect() // execute THIS plan so the scan metrics populate
+    val scan = (q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }).collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scan.nonEmpty, "no FileSourceScanExec in executed range-query plan")
+    val scanned = scan.head.metrics("numOutputRows").value
+    assert(scanned < total / 2,
+      s"scan materialized $scanned of $total committed rows — row groups outside " +
+        "the doc_id range were not skipped")
+
+    // ...and the pruned read returns exactly the right rows
+    assert(canon(all.filter(col("doc_id") <= hi))
+      === canon(ExtractPipeline.extractFlat(docs).filter(col("doc_id") <= hi)))
+  }
+
   test("empty buckets commit cleanly (zero-metric manifest entries, no re-read crash)") {
     // only two doc ids -> 6 of 8 buckets are EMPTY; Spark writes no partition dirs
     // for an empty partitioned output, which used to crash the verification re-read
