@@ -163,6 +163,36 @@ object SparkEntry {
       .orderBy(col("bucket"))
   }
 
+  /** Streamed ingest -> COMPACTION -> canonical generation, under the DuckDB gate:
+    * commit the corpus as [[graft.functions.OracleSql.CompactBatches]] synthetic
+    * stream micro-batches (composite manifest ids `batchId*nBuckets + bucket`,
+    * [[graft.sources.SnapshotSink.commitStreamBatch]]), then rewrite them into one
+    * canonical generation ([[graft.sources.SnapshotSink.compact]]) and emit the
+    * per-bucket lineage. The oracle predicts the merged per-base counts AND the
+    * generation arithmetic — a rewrite that loses/duplicates rows, or mis-numbers
+    * the new generation, hash-mismatches. The batch split key is a HASH of doc_id
+    * (never `id % n` — composed moduli with the bucket key would skew the cells). */
+  private def snapshotCompact(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotSink
+    val nb = SnapshotSink.DefaultBuckets
+    val out = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-snapcompact-query-" + dir.replaceAll("[^a-z0-9.]", "-"))
+    SnapshotSink.deleteRecursively(out)
+    val flat = ExtractPipeline.extractFlat(Interleave.materializedDocs(s, dir))
+    val nBatches = OracleSql.CompactBatches
+    (0 until nBatches).foreach { b =>
+      SnapshotSink.commitStreamBatch(
+        flat.filter(pmod(hash(col("doc_id")), lit(nBatches)) === b),
+        out.toString, b.toLong, nb)
+    }
+    SnapshotSink.compact(s, out.toString, nb)
+    SnapshotSink.lineage(s, out.toString)
+      .select(pmod(col("bucket"), lit(nb.toLong)).cast("int").as("bucket"),
+        floor(col("bucket") / nb).cast("int").as("generation"),
+        col("rows").as("rows_"), col("n_spans"), col("n_err"))
+      .orderBy(col("bucket"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- extraction (flagship family) ------------------------------------------
@@ -177,6 +207,7 @@ object SparkEntry {
     "span_metrics" -> (spanMetrics(_, _)),
     "snapshot_lineage" -> (snapshotLineage(_, _)),
     "snapshot_resume" -> (snapshotResume(_, _)),
+    "snapshot_compact" -> (snapshotCompact(_, _)),
     "hocr_words" -> ((s, dir) => {
       import graft.functions.HocrAlto
       ExtractPipeline.extractFlat(Interleave.docs(s, dir))
@@ -274,6 +305,7 @@ object SparkEntry {
     "span_metrics" -> OracleSql.spanMetrics,
     "snapshot_lineage" -> OracleSql.snapshotLineage,
     "snapshot_resume" -> OracleSql.snapshotResume,
+    "snapshot_compact" -> OracleSql.snapshotCompact,
     "hocr_words" -> OracleSql.hocrWords,
     "alto_words" -> OracleSql.altoWords,
     "dedup_exact" -> OracleSqlDedup.dedupExact,

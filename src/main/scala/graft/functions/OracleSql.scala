@@ -169,6 +169,27 @@ object OracleSql {
        |       CAST(max(CASE WHEN CAST(substr(doc_id, 5) AS BIGINT) % $SnapshotBuckets = $ResumeVictim THEN 1 ELSE 0 END) AS INT) AS re_extracted
        |FROM extracted GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** Number of synthetic stream micro-batches `SparkEntry.snapshotCompact` commits
+    * before compacting. The compacted generation index equals this count (batch ids
+    * 0..N-1 occupy generations 0..N-1, so the rewrite lands at generation N) —
+    * single-sourced here so the Spark side and this SQL cannot drift. */
+  val CompactBatches = 2
+
+  /** Mirror of SparkEntry.snapshotCompact: compaction merges the stream batches'
+    * composite buckets (batchId*nBuckets + base) into ONE canonical generation whose
+    * index is [[CompactBatches]], with per-base counts equal to a straight per-bucket
+    * aggregation of the whole corpus. A rewrite that loses or duplicates rows flips
+    * rows_/n_spans; one that mis-numbers the new generation flips `generation` —
+    * either hash-mismatches. */
+  val snapshotCompact: String =
+    s"""$extractionCtes
+       |SELECT CAST(CAST(substr(doc_id, 5) AS BIGINT) % $SnapshotBuckets AS INT) AS bucket,
+       |       CAST($CompactBatches AS INT) AS generation,
+       |       CAST(count(*) AS BIGINT) AS rows_,
+       |       CAST(count(*) AS BIGINT) AS n_spans,
+       |       CAST(sum(CASE WHEN error IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_err
+       |FROM extracted GROUP BY 1 ORDER BY bucket""".stripMargin
+
   /** Expected hOCR/ALTO parse output computed DIRECTLY from the engine word model
     * (word i of an ok media span = substr(md5(payloadHex:i),1,6); geometry/conf per
     * [[HocrAlto]]'s deterministic layout) — independent of the Spark side's actual

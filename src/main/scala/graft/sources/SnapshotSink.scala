@@ -89,6 +89,16 @@ object SnapshotSink {
       invalidated: Seq[Long],
       totalRows: Long)
 
+  /** Outcome of a [[compact]] run. `generation` is the new generation index (or the
+    * highest existing one on a no-op); `mergedEntries` counts the source manifest
+    * entries rewritten away. */
+  final case class CompactReport(
+      generation: Long,
+      compactedBases: Seq[Long],
+      mergedEntries: Long,
+      rows: Long,
+      noop: Boolean)
+
   /** Deterministic bucket assignment from the doc_id's numeric suffix
     * ('doc-0000000000042' — 13 digits, [[graft.sources.Interleave.DocIdDigits]]). */
   def bucketOf(docId: Column, nBuckets: Int): Column =
@@ -170,14 +180,28 @@ object SnapshotSink {
     // stay re-committable as empty.
     val mustBeNonEmpty = invalid.filter(_.rows > 0).map(_.bucket).toSet
     var manifest = valid.sortBy(_.bucket)
-    val committed = valid.map(_.bucket).toSet
-    val todo = (0L until nBuckets).filterNot(committed)
+    // Generation-aware resume: a COMPACTED snapshot's entries live at
+    // `gen*nBuckets + base` ([[compact]]). Whenever each base bucket appears at most
+    // once in the manifest (canonical — trivially true for fresh/batch manifests,
+    // where id == base, and true by construction after compaction), resume works per
+    // BASE and re-commits an invalidated bucket under its EXISTING manifest id, so
+    // compaction never breaks the heal-from-source path. Non-canonical manifests
+    // (a mid-flight stream with several batches per base) keep the legacy id-space
+    // behavior: ids 0..nBuckets-1 only.
+    val canonical = existing.map(_.bucket % nBuckets).distinct.size == existing.size
+    val idOfBase: Long => Long =
+      if (canonical) {
+        val m = existing.map(e => (e.bucket % nBuckets) -> e.bucket).toMap
+        b => m.getOrElse(b, b)
+      } else identity
+    val validIds = valid.map(_.bucket).toSet
+    val todo = (0L until nBuckets).filterNot(b => validIds(idOfBase(b)))
 
     val processed = Seq.newBuilder[Long]
     var totalRows = 0L
     val waves = todo.grouped(waveSize).toSeq
 
-    waves.zipWithIndex.foreach { case (wave, wi) =>
+    waves.zipWithIndex.foreach { case (baseWave, wi) =>
       val t0 = System.nanoTime()
       // -- step 2: extract the wave's buckets into staging ------------------------
       // The filter sits on the INPUT side of the pipeline: a resumed job never pays
@@ -186,21 +210,31 @@ object SnapshotSink {
       // bucket-PARTITIONED source this is a partition filter — the scan itself reads
       // only the wave's buckets (SnapshotResumeSpec asserts PartitionFilters + the
       // pruned partition count); otherwise it prunes post-scan.
-      // Int literals, not Long: batch bucket ids always fit (< nBuckets), and a Long
+      // Int literals, not Long: base bucket ids always fit (< nBuckets), and a Long
       // literal would type-coerce the int `bucket` partition column through a cast,
       // defeating the scan-level partition pruning this filter exists for.
-      val waveInts = wave.map(_.toInt)
+      val waveInts = baseWave.map(_.toInt)
       val docsW =
         if (docs.columns.contains("bucket"))
           docs.filter(col("bucket").isin(waveInts: _*)).drop("bucket")
         else docs.filter(bucketOf(col("doc_id"), nBuckets).isin(waveInts: _*))
+      // Staged rows carry their MANIFEST id (== base for uncompacted snapshots; the
+      // compacted-generation id otherwise) so the commit lands at the id the
+      // manifest, readBack layout, and verification already use.
+      val targetIds = baseWave.map(idOfBase)
+      val baseCol = bucketOf(col("doc_id"), nBuckets).cast("long")
+      val idCol =
+        if (targetIds == baseWave) baseCol
+        else baseWave.zip(targetIds).foldLeft(lit(-1L)) { case (acc, (b, id)) =>
+          when(baseCol === b, lit(id)).otherwise(acc)
+        }
       val flat = ExtractPipeline.extractFlat(docsW, config)
-        .withColumn("bucket", bucketOf(col("doc_id"), nBuckets))
+        .withColumn("bucket", idCol)
       val (newManifest, waveRows) =
-        commitWaveFlat(spark, out, flat, wave, manifest, t0,
-          expectNonEmpty = mustBeNonEmpty.intersect(wave.toSet), io = io)
+        commitWaveFlat(spark, out, flat, targetIds, manifest, t0,
+          expectNonEmpty = mustBeNonEmpty.intersect(targetIds.toSet), io = io)
       manifest = newManifest
-      processed ++= wave
+      processed ++= targetIds
       totalRows += waveRows
       if (wi + 1 >= crashAfterWaves) throw new InjectedCrash(wi)
     }
@@ -209,9 +243,27 @@ object SnapshotSink {
       invalid.map(_.bucket).sorted, totalRows)
   }
 
-  /** Read the committed span table back (flat schema + bucket partition column). */
+  /** Read the committed span table back (flat schema + bucket partition column) by
+    * scanning the whole data directory. Fast and planner-friendly (directory-level
+    * partition discovery), but it trusts the directory listing — after a CRASHED
+    * [[compact]] (orphan source dirs not yet GC'd) it double-reads; run [[vacuum]]
+    * first, or use [[readCommitted]], which resolves files through the manifest. */
   def readBack(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(Paths.get(outDir).resolve("data").toString)
+
+  /** Manifest-resolved read (Iceberg semantics: the manifest IS the table): scan
+    * exactly the data files the manifest lists, so orphan directories — a crashed
+    * [[compact]]'s un-GC'd sources, an abandoned write — are invisible without any
+    * vacuum. The `basePath` option keeps the `bucket` partition column. Falls back
+    * to an empty [[readBack]] frame when the manifest lists no files (all-empty
+    * buckets) so callers always get the committed schema. */
+  def readCommitted(spark: SparkSession, outDir: String): DataFrame = {
+    val dataPath = Paths.get(outDir).resolve("data")
+    val files = readManifest(spark, outDir).flatMap(e =>
+      e.files.map(f => bucketDir(Paths.get(outDir), e.bucket).resolve(f).toString))
+    if (files.isEmpty) readBack(spark, outDir).limit(0)
+    else spark.read.option("basePath", dataPath.toString).parquet(files: _*)
+  }
 
   /** Parse the manifest (empty if none exists yet). Read through Spark's JSON source
     * with the case-class schema — no extra JSON dependency. */
@@ -267,6 +319,136 @@ object SnapshotSink {
       .filter(col("bucket").isin(todo: _*))
     commitWaveFlat(spark, out, withBucket, todo, kept, System.nanoTime(), io = io)
     todo
+  }
+
+  /**
+   * Iceberg-style REWRITE action (compaction): merge a multi-generation manifest —
+   * typically the composite ids a long-running stream accumulates
+   * ([[commitStreamBatch]]: `batchId * nBuckets + bucket`, thousands of small bucket
+   * directories at production batch cadence) — into ONE canonical generation of
+   * `nBuckets` buckets at `gen = max(bucket / nBuckets) + 1`.
+   *
+   * Per wave of base buckets: read ONLY the wave's source bucket directories
+   * (pruned — never the whole snapshot per wave), re-key each row to
+   * `gen*nBuckets + (bucket % nBuckets)`, and commit through the SAME staged-write ->
+   * re-read-metrics -> publish -> distributed-hash -> manifest-republish cycle as
+   * every other write ([[commitWaveFlat]]). The new generation's directories are NEW
+   * names — nothing is rewritten in place — and the manifest republish is the atomic
+   * swap (source entries out, merged entries in). Source directories are deleted only
+   * AFTER the swap and a row-count reconciliation against their manifest entries, so
+   * a crash at any point leaves a fully readable snapshot; the worst case is orphan
+   * directories, which [[vacuum]] removes (and which MUST be removed before
+   * [[readBack]], which scans the whole data directory, is trusted again).
+   *
+   * After compaction the manifest is canonical (one entry per base bucket), so
+   * [[run]]'s generation-aware resume can still heal an invalidated bucket from the
+   * source corpus at its compacted id — streamed ingest, compaction, and batch
+   * resume compose.
+   */
+  def compact(
+      spark: SparkSession,
+      outDir: String,
+      nBuckets: Int = DefaultBuckets,
+      waveSize: Int = DefaultBuckets,
+      deepVerify: Boolean = true,
+      io: CommitIo = PosixCommitIo): CompactReport = {
+    val out = Paths.get(outDir)
+    val existing = readManifest(spark, outDir)
+    val canonical = existing.map(_.bucket % nBuckets).distinct.size == existing.size
+    if (existing.isEmpty || canonical)
+      return CompactReport(
+        existing.map(_.bucket / nBuckets).maxOption.getOrElse(0L),
+        Seq.empty, 0L, 0L, noop = true)
+    val (valid, invalid) = verifyEntries(spark, out, existing, deepVerify)
+    require(invalid.isEmpty,
+      s"refusing to compact: bucket(s) ${invalid.map(_.bucket).sorted} fail " +
+        "verification — heal them first (re-deliver the stream batch / re-run the " +
+        "batch sink); compacting unverified data would bake corruption into the new " +
+        "generation")
+    val gen = existing.map(_.bucket / nBuckets).max + 1
+    val dataPath = out.resolve("data")
+    val byBase = valid.groupBy(e => e.bucket % nBuckets)
+    val bases = byBase.keys.toSeq.sorted
+    var manifest = existing.sortBy(_.bucket)
+    var totalRows = 0L
+
+    bases.grouped(waveSize).foreach { baseWave =>
+      val t0 = System.nanoTime()
+      val src = baseWave.flatMap(byBase)
+      val srcIds = src.map(_.bucket)
+      val targetIds = baseWave.map(gen * nBuckets + _)
+      val srcDirs = srcIds.map(bucketDir(out, _)).filter(listDataFiles(_).nonEmpty)
+      val manifestLess = manifest.filterNot(e => srcIds.contains(e.bucket))
+      val (newManifest, waveRows) =
+        if (srcDirs.isEmpty) {
+          // every source bucket in this wave is EMPTY (a legal committed state) —
+          // nothing to stage or read; publish empty merged directories and swap
+          targetIds.foreach { b =>
+            val dst = bucketDir(out, b)
+            deleteRecursively(dst)
+            Files.createDirectories(dst)
+          }
+          val wallMs = ((System.nanoTime() - t0) / 1e6).toLong
+          val entries = targetIds.map(b => ManifestEntry(
+            bucket = b, rows = 0L, content_hash = combinedHash(Seq.empty),
+            files = Seq.empty, file_sizes = Seq.empty, file_hashes = Seq.empty,
+            engine_version = graft.operators.DeterministicOcrEngine.Version,
+            n_spans = 0L, n_media = 0L, n_text = 0L, n_err = 0L, ocr_chars = 0L,
+            n_words = 0L, conf_sum = 0.0, wall_ms = wallMs))
+          val m2 = (manifestLess ++ entries).sortBy(_.bucket)
+          writeManifest(out, m2, io)
+          (m2, 0L)
+        } else {
+          // basePath keeps the `bucket` partition column; inferred int for small ids,
+          // long once composite stream ids grow — normalize through the long cast
+          val merged = spark.read.option("basePath", dataPath.toString)
+            .parquet(srcDirs.map(_.toString): _*)
+            .withColumn("bucket",
+              lit(gen * nBuckets) +
+                pmod(col("bucket").cast("long"), lit(nBuckets.toLong)))
+          val expectNonEmpty = baseWave
+            .filter(b => byBase(b).map(_.rows).sum > 0)
+            .map(gen * nBuckets + _).toSet
+          val spanCols = Seq("kind", "ok", "error", "text", "n_words", "conf_sum")
+          val layout =
+            if (merged.columns.contains("doc_id") && merged.columns.contains("offset"))
+              Seq("bucket", "doc_id", "offset")
+            else "bucket" +: merged.columns.find(_ != "bucket").toSeq
+          commitWaveFlat(spark, out, merged, targetIds, manifestLess, t0,
+            expectNonEmpty = expectNonEmpty, io = io, layoutCols = layout,
+            spanMetrics = spanCols.forall(merged.columns.contains))
+        }
+      // reconcile BEFORE the GC: if the rewrite lost rows, the merged generation is
+      // already live (manifest swapped) but every source byte is still on disk
+      val expectRows = src.map(_.rows).sum
+      require(waveRows == expectRows,
+        s"compaction row mismatch for base buckets $baseWave: staged $waveRows rows " +
+          s"but the source manifest entries recorded $expectRows — source " +
+          "directories left in place for inspection")
+      manifest = newManifest
+      totalRows += waveRows
+      srcIds.foreach(b => deleteRecursively(bucketDir(out, b)))
+    }
+    deleteRecursively(out.resolve("staging"))
+    CompactReport(gen, bases, valid.size.toLong, totalRows, noop = false)
+  }
+
+  /** Delete `bucket=*` data directories not referenced by the manifest — orphans left
+    * by a crash between a compaction wave's manifest swap and its source-directory GC
+    * (or by any abandoned write). The manifest is the source of truth (Iceberg
+    * semantics), but [[readBack]] scans the whole data directory, so orphans must be
+    * vacuumed after a crashed compaction before readBack is trusted again. Returns
+    * the removed directory names. */
+  def vacuum(spark: SparkSession, outDir: String): Seq[String] = {
+    val out = Paths.get(outDir)
+    val referenced = readManifest(spark, outDir).map(_.bucket).toSet
+    val orphans = listPartitionDirs(out.resolve("data")).filter { p =>
+      p.getFileName.toString.stripPrefix("bucket=").toLongOption
+        .forall(!referenced(_))
+    }
+    orphans.foreach(deleteRecursively)
+    deleteRecursively(out.resolve("staging"))
+    orphans.map(_.getFileName.toString)
   }
 
   /** The two verification tiers shared by batch [[run]] and [[commitStreamBatch]]:

@@ -21,12 +21,14 @@ class PlanSpec extends AnyFunSuite {
 
   private def planOf(df: DataFrame): String = df.queryExecution.executedPlan.toString
 
-  // snapshot_lineage / snapshot_resume are excluded: building their DataFrames RUNS
-  // the snapshot protocol (covered by SnapshotResumeSpec); the returned lineage
-  // frames are local manifest tables with no join surface.
+  // snapshot_lineage / snapshot_resume / snapshot_compact are excluded: building
+  // their DataFrames RUNS the snapshot protocol (covered by SnapshotResumeSpec /
+  // SnapshotCompactSpec); the returned lineage frames are local manifest tables
+  // with no join surface.
   private val planChecked =
     SparkEntry.queries.keys
-      .filterNot(Set("snapshot_lineage", "snapshot_resume")).toSeq.sorted
+      .filterNot(Set("snapshot_lineage", "snapshot_resume", "snapshot_compact"))
+      .toSeq.sorted
 
   test("no registered query plans a BroadcastNestedLoopJoin or CartesianProduct") {
     val offenders = planChecked.flatMap { name =>

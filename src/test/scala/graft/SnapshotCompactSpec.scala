@@ -1,0 +1,158 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.operators.ExtractPipeline
+import graft.sources.{Interleave, SnapshotSink}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Compaction ([[graft.sources.SnapshotSink.compact]]) — the Iceberg-style rewrite
+ * action merging a stream's composite-id buckets into one canonical generation —
+ * and its composition with the batch resume path and [[SnapshotSink.vacuum]].
+ *
+ * The scale problem under test: a production stream at, say, one micro-batch per
+ * minute accumulates ~half a million bucket directories a year
+ * (`batchId * nBuckets + bucket`, [[SnapshotSink.commitStreamBatch]]); every
+ * readBack lists and opens all of them. Compaction must collapse that to
+ * `nBuckets` directories without losing a row, without breaking verification, and
+ * without disabling the heal-from-source resume.
+ */
+class SnapshotCompactSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+  private val NB = 8
+
+  private def tmpDir(tag: String): String = {
+    val p = Paths.get(sys.props("java.io.tmpdir"), s"graft-compact-$tag")
+    SnapshotSink.deleteRecursively(p)
+    p.toString
+  }
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.select(col("doc_id"), col("offset"), col("kind"), col("text"),
+        col("media_ref"), col("ok").cast("int"), coalesce(col("error"), lit("")))
+      .collect()
+      .map(_.mkString(""))
+      .sorted.toSeq
+
+  /** Commit the corpus as `n` synthetic stream micro-batches (hash-split). */
+  private def commitAsStream(out: String, n: Int): Unit = {
+    val flat = ExtractPipeline.extractFlat(Interleave.docs(spark, sfDir))
+    (0 until n).foreach { b =>
+      SnapshotSink.commitStreamBatch(
+        flat.filter(pmod(hash(col("doc_id")), lit(n)) === b), out, b.toLong, NB)
+    }
+  }
+
+  test("compact merges stream batches into one canonical generation, row-exact") {
+    val out = tmpDir("merge")
+    commitAsStream(out, 3)
+    val before = SnapshotSink.readManifest(spark, out)
+    assert(before.size === 3 * NB) // three batches' composite entries
+    val beforeRows = canon(SnapshotSink.readBack(spark, out))
+
+    val rep = SnapshotSink.compact(spark, out, nBuckets = NB, waveSize = 3)
+    assert(!rep.noop)
+    assert(rep.generation === 3L) // batch ids 0..2 occupied generations 0..2
+    assert(rep.mergedEntries === 3 * NB)
+
+    val after = SnapshotSink.readManifest(spark, out)
+    assert(after.size === NB)
+    assert(after.map(_.bucket).sorted === (0 until NB).map(rep.generation * NB + _))
+    // content identical row-for-row; per-base metrics equal the sum of the sources
+    assert(canon(SnapshotSink.readBack(spark, out)) === beforeRows)
+    val srcByBase = before.groupBy(_.bucket % NB)
+    after.foreach { e =>
+      val srcs = srcByBase(e.bucket % NB)
+      assert(e.rows === srcs.map(_.rows).sum, s"bucket ${e.bucket}")
+      assert(e.n_err === srcs.map(_.n_err).sum, s"bucket ${e.bucket}")
+      assert(e.n_words === srcs.map(_.n_words).sum, s"bucket ${e.bucket}")
+    }
+    // old composite directories are gone; only the new generation remains
+    val dirs = Files.list(Paths.get(out, "data")).toArray.map(_.toString).toSeq
+    assert(dirs.size === NB)
+    // the compacted snapshot still verifies through both tiers (resume over the
+    // bucketed corpus skips everything — nothing to re-extract)
+    val docsB = Interleave.materializedDocsBucketed(spark, sfDir, NB)
+    val report = SnapshotSink.run(docsB, out, nBuckets = NB)
+    assert(report.processed.isEmpty)
+    assert(report.skipped.sorted === after.map(_.bucket).sorted)
+  }
+
+  test("compact is a no-op on canonical manifests (batch snapshots, repeat calls)") {
+    val out = tmpDir("noop")
+    SnapshotSink.run(Interleave.docs(spark, sfDir), out, nBuckets = NB)
+    val manifest = SnapshotSink.readManifest(spark, out)
+    assert(SnapshotSink.compact(spark, out, NB).noop)
+    assert(SnapshotSink.readManifest(spark, out) === manifest)
+
+    val out2 = tmpDir("noop2")
+    commitAsStream(out2, 2)
+    assert(!SnapshotSink.compact(spark, out2, NB).noop)
+    assert(SnapshotSink.compact(spark, out2, NB).noop) // second call: already canonical
+  }
+
+  test("batch resume heals an invalidated bucket AT ITS COMPACTED ID from the source") {
+    val out = tmpDir("heal")
+    commitAsStream(out, 2)
+    val gen = SnapshotSink.compact(spark, out, NB).generation
+    val victim = gen * NB + 5
+    val pre = canon(SnapshotSink.readBack(spark, out))
+    val preEntry = SnapshotSink.readManifest(spark, out).find(_.bucket == victim).get
+    SnapshotSink.deleteRecursively(Paths.get(out, "data", s"bucket=$victim"))
+
+    val docsB = Interleave.materializedDocsBucketed(spark, sfDir, NB)
+    val report = SnapshotSink.run(docsB, out, nBuckets = NB)
+    // exactly the victim re-extracted, committed back under its generation id
+    assert(report.invalidated === Seq(victim))
+    assert(report.processed === Seq(victim))
+    assert(canon(SnapshotSink.readBack(spark, out)) === pre)
+    val healed = SnapshotSink.readManifest(spark, out).find(_.bucket == victim).get
+    assert(healed.rows === preEntry.rows)
+    assert(healed.n_words === preEntry.n_words)
+  }
+
+  test("vacuum removes orphan directories; readCommitted never saw them") {
+    val out = tmpDir("vacuum")
+    commitAsStream(out, 2)
+    SnapshotSink.compact(spark, out, NB)
+    val pre = canon(SnapshotSink.readBack(spark, out))
+    // simulate a crash between a wave's manifest swap and its source GC: an
+    // unreferenced bucket directory holding REAL parquet (a stale pre-compaction
+    // copy of bucket 0's data)
+    val gen = SnapshotSink.readManifest(spark, out).head.bucket / NB
+    val src = Paths.get(out, "data", s"bucket=${gen * NB}")
+    val orphan = Paths.get(out, "data", "bucket=999")
+    Files.createDirectories(orphan)
+    import scala.jdk.CollectionConverters._
+    Files.list(src).iterator().asScala.filter(Files.isRegularFile(_))
+      .foreach(p => Files.copy(p, orphan.resolve(p.getFileName.toString)))
+
+    // directory-scan read double-counts the orphan; the manifest-resolved read
+    // (Iceberg semantics: the manifest IS the table) is already exact
+    assert(canon(SnapshotSink.readBack(spark, out)).size > pre.size)
+    assert(canon(SnapshotSink.readCommitted(spark, out)) === pre)
+
+    val removed = SnapshotSink.vacuum(spark, out)
+    assert(removed === Seq("bucket=999"))
+    assert(!Files.exists(orphan))
+    assert(canon(SnapshotSink.readBack(spark, out)) === pre)
+    assert(SnapshotSink.vacuum(spark, out).isEmpty) // nothing left to remove
+  }
+
+  test("compact refuses a snapshot with failed verification (corruption not baked in)") {
+    val out = tmpDir("refuse")
+    commitAsStream(out, 2)
+    // in-place corruption: truncate one committed data file (size changes -> tier-1)
+    val entry = SnapshotSink.readManifest(spark, out).find(_.rows > 0).get
+    val victim = Paths.get(out, "data", s"bucket=${entry.bucket}", entry.files.head)
+    Files.write(victim, Array[Byte](0))
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotSink.compact(spark, out, NB)
+    }
+    assert(ex.getMessage.contains("refusing to compact"))
+  }
+}
