@@ -344,6 +344,14 @@ object SnapshotSink {
    * [[run]]'s generation-aware resume can still heal an invalidated bucket from the
    * source corpus at its compacted id — streamed ingest, compaction, and batch
    * resume compose.
+   *
+   * STREAMS: never compact while a micro-batch may be un-checkpointed in-flight.
+   * [[commitStreamBatch]]'s exactly-once relies on a re-delivered batch finding its
+   * composite ids committed and skipping; compaction rewrites those ids away, so a
+   * re-delivery after an ill-timed compact would re-commit rows the new generation
+   * already holds. Use [[graft.streaming.StreamingExtract.drainOnceCommitted]]'s
+   * `compactThreshold` hook, which runs only after the checkpoint has advanced past
+   * every drained batch.
    */
   def compact(
       spark: SparkSession,

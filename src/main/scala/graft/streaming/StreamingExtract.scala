@@ -56,9 +56,15 @@ object StreamingExtract {
    * and ONE verification path; a crash between the sink commit and the checkpoint
    * advance re-delivers the batch, whose already-committed buckets verify and are
    * SKIPPED (exactly-once without relying on the parquet sink's log).
+   *
+   * `compactThreshold`: once the drain's checkpoint has settled, a manifest holding
+   * more than this many entries is compacted into one canonical generation
+   * ([[graft.sources.SnapshotSink.compact]]) — the maintenance knob bounding a
+   * long-running stream's directory count. Default never compacts.
    */
   def drainOnceCommitted(spark: SparkSession, tableDir: String, outDir: String,
-      checkpointDir: String, nBuckets: Int = 8): Unit = {
+      checkpointDir: String, nBuckets: Int = 8,
+      compactThreshold: Int = Int.MaxValue): Unit = {
     val q = stream(spark, tableDir).writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.sources.SnapshotSink.commitStreamBatch(batch, outDir, batchId, nBuckets)
@@ -69,6 +75,16 @@ object StreamingExtract {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // Maintenance hook: a stream at production cadence accumulates one composite
+    // bucket directory per (batch, bucket); compaction keeps the directory count
+    // bounded over the stream's lifetime. It MUST run only here, after
+    // awaitTermination — the checkpoint has then advanced past every drained batch,
+    // so none of them can ever be re-delivered. Compacting while a batch is still
+    // un-checkpointed would erase the composite ids its re-delivery skip-checks
+    // against, and the re-delivered batch would re-commit rows the new generation
+    // already holds (see [[graft.sources.SnapshotSink.compact]]'s scaladoc).
+    if (graft.sources.SnapshotSink.readManifest(spark, outDir).size > compactThreshold)
+      graft.sources.SnapshotSink.compact(spark, outDir, nBuckets)
   }
 
   /**

@@ -107,6 +107,29 @@ class StreamingExtractSpec extends AnyFunSuite {
     assert(canon(SnapshotSink.readBack(spark, out)) === batch)
   }
 
+  test("drain's compactThreshold hook collapses settled batches into one generation") {
+    val table = tmp("mtable"); val out = tmp("mout"); val ckpt = tmp("mckpt")
+    val docs = Interleave.docs(spark, sfDir)
+    val key = substring(col("doc_id"), 5, graft.sources.Interleave.DocIdDigits)
+      .cast("long")
+    val batchTotal = canon(ExtractPipeline.extractFlat(docs))
+
+    // two drains (two checkpointed micro-batches), each appending half the corpus;
+    // threshold 8 = one canonical generation's worth, so the second drain compacts
+    docs.filter(key < 250).repartition(4).write.mode("append").parquet(table)
+    StreamingExtract.drainOnceCommitted(spark, table, out, ckpt, compactThreshold = 8)
+    assert(SnapshotSink.readManifest(spark, out).size === 8) // one batch: no compact
+    docs.filter(key >= 250).repartition(4).write.mode("append").parquet(table)
+    StreamingExtract.drainOnceCommitted(spark, table, out, ckpt, compactThreshold = 8)
+
+    val manifest = SnapshotSink.readManifest(spark, out)
+    assert(manifest.size === 8) // 16 composite entries compacted to one generation
+    assert(manifest.map(_.bucket % 8).sorted === (0L until 8L))
+    assert(manifest.map(_.bucket / 8).distinct.size === 1)
+    assert(canon(SnapshotSink.readBack(spark, out)) === batchTotal)
+    assert(canon(SnapshotSink.readCommitted(spark, out)) === batchTotal)
+  }
+
   test("watermarked windowed metrics finalize closed windows and match batch counts") {
     val table = tmp("wtable"); val ckpt = tmp("wckpt")
     Interleave.docs(spark, sfDir).write.mode("append").parquet(table)
