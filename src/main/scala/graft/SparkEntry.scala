@@ -230,6 +230,17 @@ object SparkEntry {
           col("col.height"), col("col.wc"))
         .orderBy(col("doc_id"), col("offset"), col("word_idx"))
     }),
+    "pdf_words" -> ((s, dir) => {
+      import graft.functions.PdfLayout
+      ExtractPipeline.extractFlat(Interleave.docs(s, dir))
+        .filter(col("kind") === "image" && col("ok"))
+        .select(col("doc_id"), col("offset"),
+          posexplode(PdfLayout.parsePdf(PdfLayout.toPdf(col("text")))))
+        .select(col("doc_id"), col("offset"), col("pos").cast("int").as("word_idx"),
+          col("col.word"), col("col.line").as("line_idx"),
+          col("col.col").as("col_idx"), col("col.x"), col("col.y"))
+        .orderBy(col("doc_id"), col("offset"), col("word_idx"))
+    }),
     // ---- training-data dedup family --------------------------------------------
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(Dedup.withExactCopies(documents(s, dir)))),
@@ -308,6 +319,7 @@ object SparkEntry {
     "snapshot_compact" -> OracleSql.snapshotCompact,
     "hocr_words" -> OracleSql.hocrWords,
     "alto_words" -> OracleSql.altoWords,
+    "pdf_words" -> OracleSql.pdfWords,
     "dedup_exact" -> OracleSqlDedup.dedupExact,
     "minhash_bands" -> OracleSqlDedup.minhashBands,
     "neardup_pairs" -> OracleSqlDedup.neardupPairs,

@@ -228,6 +228,24 @@ object OracleSql {
        |       $wordConf AS wc
        |FROM words ORDER BY doc_id, "offset", word_idx""".stripMargin
 
+  /** Mirror of the pdf_words query: expected reading-order words + page geometry
+    * computed DIRECTLY from the engine word model and [[PdfLayout]]'s deterministic
+    * layout constants — independent of the Spark side's build->layout-parse
+    * round-trip. The layout reconstruction is correct iff the parser's reading-order
+    * word index (posexplode over the scrambled-stream parse) equals the model's word
+    * index with this line/column arithmetic. */
+  val pdfWords: String = {
+    import PdfLayout._
+    s"""$extractionCtes,
+       |$wordCtes
+       |SELECT doc_id, "offset", word_idx, word,
+       |       CAST(floor(word_idx / $WordsPerLine) AS INT) AS line_idx,
+       |       CAST(word_idx % $WordsPerLine AS INT) AS col_idx,
+       |       CAST($X0 + $XStep * (word_idx % $WordsPerLine) AS INT) AS x,
+       |       CAST($YTop - $YStep * floor(word_idx / $WordsPerLine) AS INT) AS y
+       |FROM words ORDER BY doc_id, "offset", word_idx""".stripMargin
+  }
+
   val extractMetrics: String =
     s"""$extractionCtes
        |SELECT lang,
