@@ -178,11 +178,16 @@ object SparkEntry {
     val out = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft-snapcompact-query-" + dir.replaceAll("[^a-z0-9.]", "-"))
     SnapshotSink.deleteRecursively(out)
-    val flat = ExtractPipeline.extractFlat(Interleave.materializedDocs(s, dir))
+    val docs = Interleave.materializedDocs(s, dir)
     val nBatches = OracleSql.CompactBatches
     (0 until nBatches).foreach { b =>
+      // batch = the documents arriving in that micro-batch: filter BEFORE the OCR
+      // island, so each document is extracted exactly once across all batches —
+      // the cost shape of a real stream (filtering the extracted spans instead
+      // would pay extraction nBatches times over the full corpus)
       SnapshotSink.commitStreamBatch(
-        flat.filter(pmod(hash(col("doc_id")), lit(nBatches)) === b),
+        ExtractPipeline.extractFlat(
+          docs.filter(pmod(hash(col("doc_id")), lit(nBatches)) === b)),
         out.toString, b.toLong, nb)
     }
     SnapshotSink.compact(s, out.toString, nb)
