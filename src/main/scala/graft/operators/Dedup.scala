@@ -118,12 +118,21 @@ object Dedup {
    * gcd residues). `sigDir` MUST be keyed by corpus identity + [[SigFormatVersion]]
    * by the caller (see [[graft.SparkEntry]]): a reused directory over a changed
    * corpus serves stale signatures with a valid manifest.
+   *
+   * `deepVerify` defaults to FALSE on this read path (Iceberg read semantics: the
+   * manifest is the source of truth; the names+sizes metadata tier still runs on
+   * every read, so truncation/replacement heals). Re-hashing every committed byte
+   * before every query is O(table bytes) hidden cost per query at 100 TB — the deep
+   * tier is the explicit AUDIT knob (pass true, or run `TableSnapshot.run` with its
+   * default), not a per-read default. Size-preserving in-place corruption is what
+   * it catches; SignatureStoreSpec exercises both tiers.
    */
   def committedBands(docs: DataFrame, sigDir: String,
-      nBuckets: Int = SigBuckets): DataFrame = {
+      nBuckets: Int = SigBuckets, deepVerify: Boolean = false): DataFrame = {
     val withBucket = minhashBands(docs)
       .withColumn("bucket", pmod(hash(col("doc_id")), lit(nBuckets)).cast("int"))
-    graft.sources.TableSnapshot.run(withBucket, sigDir, nBuckets)
+    graft.sources.TableSnapshot.run(withBucket, sigDir, nBuckets,
+      deepVerify = deepVerify)
     graft.sources.TableSnapshot.readBack(docs.sparkSession, sigDir).drop("bucket")
   }
 

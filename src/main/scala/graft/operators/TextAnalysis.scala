@@ -116,7 +116,11 @@ object TextAnalysis {
       case Some(dir) =>
         val withBucket = tfRaw.withColumn("bucket",
           pmod(hash(col("doc_id")), lit(TfBuckets)).cast("int"))
-        graft.sources.TableSnapshot.run(withBucket, dir, TfBuckets)
+        // metadata-tier verification only on this READ path (same rationale as
+        // Dedup.committedBands: the deep re-hash of every committed byte is an
+        // explicit audit, not a per-query cost)
+        graft.sources.TableSnapshot.run(withBucket, dir, TfBuckets,
+          deepVerify = false)
         graft.sources.TableSnapshot.readBack(documents.sparkSession, dir)
           .drop("bucket")
       case None => tfRaw.localCheckpoint(eager = false)

@@ -75,4 +75,23 @@ class SignatureStoreSpec extends AnyFunSuite {
     assert(back.count() === bands.count())
     assert(back.exceptAll(bands.drop("bucket")).count() === 0)
   }
+
+  test("read path (metadata tier only) still heals size-changing damage") {
+    val dir = freshDir("fasttier")
+    val before = pairSet(Dedup.neardupPairsCommitted(docs, dir))
+    // truncate one committed signature file: the names+sizes tier that runs on
+    // EVERY read must invalidate and re-derive that bucket (the deep byte-hash
+    // tier is the explicit audit knob, not a per-read default)
+    val victim = SnapshotSink.readManifest(spark, dir).find(_.rows > 0).get
+    Files.write(
+      Paths.get(dir, "data", s"bucket=${victim.bucket}", victim.files.head),
+      Array[Byte](0))
+    assert(pairSet(Dedup.neardupPairsCommitted(docs, dir)) === before)
+    // healed: the manifest verifies clean again
+    val again = TableSnapshot.run(
+      Dedup.minhashBands(docs).withColumn("bucket",
+        pmod(hash(col("doc_id")), lit(Dedup.SigBuckets)).cast("int")),
+      dir, Dedup.SigBuckets)
+    assert(again.processed.isEmpty)
+  }
 }
