@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BoilerplateExtract, DotLong, FingerprintExpr, MinHashBandsExpr, SimHash64}
+import graft.functions.{BoilerplateExtract, DotLong, FingerprintExpr, MinHashBandsExpr, ParseAltoExpr, ParseHocrExpr, ParsePdfExpr, SimHash64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -53,6 +53,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "doc_fingerprint(text) takes one argument")
         FingerprintExpr(args.head)
+      }))
+    // the three page-format scanners: parse hOCR / ALTO / PDF-content-stream pages
+    // from plain SQL (each returns an array of word structs; the PDF form is
+    // reading-ordered — see PdfLayoutOps)
+    ext.injectFunction((
+      FunctionIdentifier("parse_hocr"),
+      new ExpressionInfo(classOf[ParseHocrExpr].getName, "parse_hocr"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "parse_hocr(page) takes one argument")
+        ParseHocrExpr(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("parse_alto"),
+      new ExpressionInfo(classOf[ParseAltoExpr].getName, "parse_alto"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "parse_alto(page) takes one argument")
+        ParseAltoExpr(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("parse_pdf"),
+      new ExpressionInfo(classOf[ParsePdfExpr].getName, "parse_pdf"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "parse_pdf(content_stream) takes one argument")
+        ParsePdfExpr(args.head)
       }))
   }
 }

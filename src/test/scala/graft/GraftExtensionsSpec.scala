@@ -38,6 +38,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(r2.getLong(0) === 32L)
       assert(r2.getInt(1) === 4)
       assert(r2.getLong(2) === 2L)
+      val r3 = spark.sql(
+        """SELECT parse_hocr("<span class='ocrx_word' title='bbox 0 0 8 12; x_wconf 77'>w</span>")[0].word AS hw,
+          |       parse_alto('<String CONTENT="v" HPOS="10" VPOS="0" WIDTH="8" HEIGHT="12" WC="60"/>')[0].hpos AS ah,
+          |       parse_pdf('BT 1 0 0 1 5 9 Tm (p) Tj ET')[0].y AS py""".stripMargin)
+        .collect()(0)
+      assert(r3.getString(0) === "w")
+      assert(r3.getInt(1) === 10)
+      assert(r3.getInt(2) === 9)
     } finally {
       // leave the shared SparkContext running; just detach this session
       SparkSession.clearActiveSession()
