@@ -92,6 +92,12 @@ object PdfLayoutOps {
           System.arraycopy(st, 1, st, 0, st.length - 1); st(st.length - 1) = v
         }
         i = after
+      } else if (isDelim(c)) {
+        // stray delimiter outside a literal (`)`, `<`, `>`, `[`, `]`): not the start
+        // of any token we accept — consume the byte and drop pending operands, or the
+        // operator scan below would match a zero-length token and never advance
+        i += 1
+        clear()
       } else {
         // operator token
         val from = i

@@ -57,6 +57,59 @@ class PdfLayoutSpec extends AnyFunSuite {
     assert(bad.count() === 0)
   }
 
+  test("property fuzz: scala-built streams parse back to the exact word sequence") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // reference formulation of the builder (plain Scala mirror of PdfLayout.toPdf)
+    def build(words: Seq[String]): String =
+      words.grouped(PdfLayout.WordsPerLine).zipWithIndex.map { case (lw, l) =>
+        val y = PdfLayout.YTop - l * PdfLayout.YStep
+        val runs = lw.zipWithIndex.map { case (w, j) =>
+          val pos = if (j == 0) s"1 0 0 1 ${PdfLayout.X0} $y Tm "
+                    else s"${PdfLayout.XStep} 0 Td "
+          s"$pos($w) Tj "
+        }.mkString
+        s"BT /F1 12 Tf ${runs}ET"
+      }.toSeq.reverse.mkString("\n")
+    def parsed(s: String): Seq[(String, Int, Int)] = {
+      val arr = graft.functions.PdfLayoutOps
+        .parsePdf(UTF8String.fromString(s))
+      (0 until arr.numElements()).map { i =>
+        val r = arr.getStruct(i, 5)
+        (r.getUTF8String(0).toString, r.getInt(3), r.getInt(4))
+      }
+    }
+    val word = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val wordsGen = Gen.nonEmptyListOf(word).map(_.take(40))
+    (0 until 200).foreach { i =>
+      wordsGen(Gen.Parameters.default, Seed(0x9d7a6e11L + i)).foreach { ws =>
+        val got = parsed(build(ws))
+        assert(got.map(_._1) === ws) // reading order == original word order
+        got.zipWithIndex.foreach { case ((_, x, y), k) =>
+          assert(x === PdfLayout.X0 + PdfLayout.XStep * (k % PdfLayout.WordsPerLine))
+          assert(y === PdfLayout.YTop - PdfLayout.YStep * (k / PdfLayout.WordsPerLine))
+        }
+      }
+    }
+    // regression (found by the byte-noise fuzz below): stray delimiter bytes outside
+    // a literal used to match a zero-length operator token and never advance the
+    // scan position — an infinite loop on one malformed page. They must be consumed
+    // (dropping pending operands) and the rest of the stream still parse.
+    Seq(")", "]", ">", "[", "<", ")))", "75 700 ] Td (w) Tj").foreach { s =>
+      graft.functions.PdfLayoutOps.parsePdf(UTF8String.fromString(s))
+    }
+    assert(parsed("BT 1 0 0 1 72 700 Tm ) (w) Tj ET").map(_._1) === Seq("w"))
+
+    // robustness: arbitrary byte noise never throws, just yields runs or nothing
+    val noise = Gen.listOf(Gen.choose(0, 255)).map(_.map(_.toByte).toArray)
+    (0 until 200).foreach { i =>
+      noise(Gen.Parameters.default, Seed(0x5eedf00dL + i)).foreach { bs =>
+        graft.functions.PdfLayoutOps.parsePdf(UTF8String.fromBytes(bs))
+      }
+    }
+  }
+
   test("adversarial content streams: tolerant scanning, exact positioning") {
     import spark.implicits._
     def parse(s: String): Seq[(String, Int, Int, Int, Int)] =
