@@ -163,6 +163,33 @@ object SparkEntry {
       .orderBy(col("bucket"))
   }
 
+  /** Manifest TIME TRAVEL under the DuckDB gate: a 2-wave commit publishes immutable
+    * manifest history versions 1 and 2 ([[graft.sources.SnapshotSink.versions]]); for
+    * each, the query reads BOTH the historical manifest (`rows_` = its recorded total)
+    * and the version-resolved data scan
+    * ([[graft.sources.SnapshotSink.readCommittedAt]], `rows_read`) — so a history
+    * publish that skips a wave, mis-numbers versions, or resolves a version to the
+    * wrong file set hash-mismatches against the oracle's wave arithmetic
+    * (version v = buckets 0 .. nb/2*v-1, ascending wave order). */
+  private def snapshotTimetravel(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotSink
+    val nb = SnapshotSink.DefaultBuckets
+    val out = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-snaptravel-query-" + dir.replaceAll("[^a-z0-9.]", "-"))
+    SnapshotSink.deleteRecursively(out)
+    SnapshotSink.run(Interleave.materializedDocsBucketed(s, dir, nb), out.toString,
+      nBuckets = nb, waveSize = nb / 2)
+    val rows = SnapshotSink.versions(out.toString).map { v =>
+      val entries = SnapshotSink.readManifestAt(s, out.toString, v)
+      val readRows = SnapshotSink.readCommittedAt(s, out.toString, v).count()
+      (v.toInt, entries.size, entries.map(_.rows).sum, readRows,
+        entries.map(_.n_err).sum)
+    }
+    import s.implicits._
+    rows.toDF("version", "n_buckets", "rows_", "rows_read", "n_err")
+      .orderBy(col("version"))
+  }
+
   /** Streamed ingest -> COMPACTION -> canonical generation, under the DuckDB gate:
     * commit the corpus as [[graft.functions.OracleSql.CompactBatches]] synthetic
     * stream micro-batches (composite manifest ids `batchId*nBuckets + bucket`,
@@ -213,6 +240,7 @@ object SparkEntry {
     "snapshot_lineage" -> (snapshotLineage(_, _)),
     "snapshot_resume" -> (snapshotResume(_, _)),
     "snapshot_compact" -> (snapshotCompact(_, _)),
+    "snapshot_timetravel" -> (snapshotTimetravel(_, _)),
     "hocr_words" -> ((s, dir) => {
       import graft.functions.HocrAlto
       ExtractPipeline.extractFlat(Interleave.docs(s, dir))
@@ -322,6 +350,7 @@ object SparkEntry {
     "snapshot_lineage" -> OracleSql.snapshotLineage,
     "snapshot_resume" -> OracleSql.snapshotResume,
     "snapshot_compact" -> OracleSql.snapshotCompact,
+    "snapshot_timetravel" -> OracleSql.snapshotTimetravel,
     "hocr_words" -> OracleSql.hocrWords,
     "alto_words" -> OracleSql.altoWords,
     "pdf_words" -> OracleSql.pdfWords,

@@ -169,6 +169,31 @@ object OracleSql {
        |       CAST(max(CASE WHEN CAST(substr(doc_id, 5) AS BIGINT) % $SnapshotBuckets = $ResumeVictim THEN 1 ELSE 0 END) AS INT) AS re_extracted
        |FROM extracted GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** Mirror of SparkEntry.snapshotTimetravel: a 2-wave commit (waveSize = nBuckets/2)
+    * publishes manifest history versions 1 and 2; version v covers exactly buckets
+    * 0 .. (nBuckets/2 * v - 1) because [[graft.sources.SnapshotSink.run]] processes
+    * base buckets in ascending wave order. `n_buckets` is the protocol arithmetic
+    * (manifest entries exist even for empty buckets), `rows_` is the manifest total
+    * for the version, and `rows_read` is the row count of the version-resolved DATA
+    * scan ([[graft.sources.SnapshotSink.readCommittedAt]]) — a time-travel read
+    * serving a different set of files than the version's manifest hash-mismatches. */
+  val snapshotTimetravel: String =
+    s"""$extractionCtes,
+       |per_bucket AS (
+       |  SELECT CAST(CAST(substr(doc_id, 5) AS BIGINT) % $SnapshotBuckets AS INT) AS bucket,
+       |         CAST(count(*) AS BIGINT) AS rows_,
+       |         CAST(sum(CASE WHEN error IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_err
+       |  FROM extracted GROUP BY 1
+       |)
+       |SELECT v.version,
+       |       CAST($SnapshotBuckets / 2 * v.version AS INT) AS n_buckets,
+       |       CAST(coalesce(sum(b.rows_), 0) AS BIGINT) AS rows_,
+       |       CAST(coalesce(sum(b.rows_), 0) AS BIGINT) AS rows_read,
+       |       CAST(coalesce(sum(b.n_err), 0) AS BIGINT) AS n_err
+       |FROM (VALUES (1), (2)) AS v(version)
+       |LEFT JOIN per_bucket b ON b.bucket < $SnapshotBuckets / 2 * v.version
+       |GROUP BY v.version ORDER BY version""".stripMargin
+
   /** Number of synthetic stream micro-batches `SparkEntry.snapshotCompact` commits
     * before compacting. The compacted generation index equals this count (batch ids
     * 0..N-1 occupy generations 0..N-1, so the rewrite lands at generation N) —

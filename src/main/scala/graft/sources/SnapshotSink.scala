@@ -267,8 +267,10 @@ object SnapshotSink {
 
   /** Parse the manifest (empty if none exists yet). Read through Spark's JSON source
     * with the case-class schema — no extra JSON dependency. */
-  def readManifest(spark: SparkSession, outDir: String): Seq[ManifestEntry] = {
-    val p = Paths.get(outDir).resolve("manifest.json")
+  def readManifest(spark: SparkSession, outDir: String): Seq[ManifestEntry] =
+    parseManifest(spark, Paths.get(outDir).resolve("manifest.json"))
+
+  private def parseManifest(spark: SparkSession, p: Path): Seq[ManifestEntry] = {
     if (!Files.exists(p)) return Seq.empty
     val enc = Encoders.product[ManifestEntry]
     spark.read.schema(enc.schema).json(p.toString).as[ManifestEntry](enc)
@@ -279,6 +281,81 @@ object SnapshotSink {
   def lineage(spark: SparkSession, outDir: String): DataFrame = {
     val enc = Encoders.product[ManifestEntry]
     spark.createDataset(readManifest(spark, outDir))(enc).toDF()
+  }
+
+  // ---- time travel ------------------------------------------------------------------
+  //
+  // Every manifest publish ([[writeManifest]]) also writes an IMMUTABLE history copy
+  // `manifest-v%06d.json` before swapping `manifest.json` (the HEAD pointer) — the
+  // Iceberg metadata-version sequence, with the same retention contract: a historical
+  // version stays READABLE ([[readCommittedAt]]) for as long as the data files it
+  // references are retained. The protocol's eager GC points — [[compact]]'s post-swap
+  // source-directory delete, [[vacuum]], and [[run]]'s invalidated-bucket delete — are
+  // the `expireSnapshots` analogue: they reclaim bytes and thereby expire every version
+  // that referenced them. Reading an expired version fails LOUDLY with the missing-file
+  // count, never silently short. History files themselves are O(bytes-of-metadata);
+  // [[expireVersions]] prunes them when a bounded history is wanted.
+
+  private val VersionFileRe = "manifest-v(\\d+)\\.json".r
+
+  private def versionPath(out: Path, v: Long): Path =
+    out.resolve(f"manifest-v$v%06d.json")
+
+  /** Available history versions, ascending (empty for a pre-history snapshot). */
+  def versions(outDir: String): Seq[Long] = {
+    val out = Paths.get(outDir)
+    if (!Files.isDirectory(out)) return Seq.empty
+    val stream = Files.list(out)
+    try stream.iterator().asScala.toSeq
+      .flatMap(p => p.getFileName.toString match {
+        case VersionFileRe(n) => Some(n.toLong)
+        case _ => None
+      }).sorted
+    finally stream.close()
+  }
+
+  /** The manifest as of history version `v` (1-based, [[versions]]). */
+  def readManifestAt(spark: SparkSession, outDir: String, v: Long): Seq[ManifestEntry] = {
+    val p = versionPath(Paths.get(outDir), v)
+    require(Files.exists(p),
+      s"no manifest version $v under $outDir — available: " +
+        s"[${versions(outDir).mkString(", ")}]")
+    parseManifest(spark, p)
+  }
+
+  /** [[lineage]] as of history version `v`. */
+  def lineageAt(spark: SparkSession, outDir: String, v: Long): DataFrame = {
+    val enc = Encoders.product[ManifestEntry]
+    spark.createDataset(readManifestAt(spark, outDir, v))(enc).toDF()
+  }
+
+  /** Time-travel read ([[readCommitted]] at history version `v`): scan exactly the
+    * data files that manifest version listed. Fails loudly when the version has been
+    * EXPIRED — any referenced file reclaimed by compaction GC, [[vacuum]], or an
+    * invalidated-bucket rebuild — rather than returning a silently short table. */
+  def readCommittedAt(spark: SparkSession, outDir: String, v: Long): DataFrame = {
+    val out = Paths.get(outDir)
+    val entries = readManifestAt(spark, outDir, v)
+    val files = entries.flatMap(e => e.files.map(f => bucketDir(out, e.bucket).resolve(f)))
+    val missing = files.filterNot(Files.isRegularFile(_))
+    require(missing.isEmpty,
+      s"snapshot version $v is EXPIRED: ${missing.size} of ${files.size} data files " +
+        "it references were reclaimed (compaction GC / vacuum / bucket invalidation " +
+        "— the expireSnapshots analogue); time travel reaches only versions whose " +
+        s"files are retained. First missing: ${missing.head}")
+    if (files.isEmpty) readBack(spark, outDir).limit(0)
+    else spark.read.option("basePath", out.resolve("data").toString)
+      .parquet(files.map(_.toString): _*)
+  }
+
+  /** Prune manifest history to the newest `keepLast` versions (HEAD `manifest.json`
+    * is untouched — it is the current table either way). Returns pruned versions. */
+  def expireVersions(outDir: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 0, s"keepLast must be >= 0, got $keepLast")
+    val out = Paths.get(outDir)
+    val drop = versions(outDir).dropRight(keepLast)
+    drop.foreach(v => Files.deleteIfExists(versionPath(out, v)))
+    drop
   }
 
   /**
@@ -715,11 +792,20 @@ object SnapshotSink {
   /** Publish the manifest: serialize all entries as JSON Lines to a temp file in the
     * same directory, then swap it in through the [[CommitIo]] seam (atomic rename on
     * POSIX/HDFS; on an object store this republish IS the metadata-pointer swap —
-    * see [[CommitIo]]'s scaladoc). */
+    * see [[CommitIo]]'s scaladoc).
+    *
+    * The IMMUTABLE history copy (`manifest-v%06d.json`, the time-travel sequence) is
+    * published FIRST, the HEAD swap second: a crash between the two leaves an extra
+    * unreferenced history file (harmless; the next publish just takes the next
+    * number), never a HEAD whose version is missing from history. */
   private def writeManifest(out: Path, entries: Seq[ManifestEntry],
       io: CommitIo = PosixCommitIo): Unit = {
-    val tmp = Files.createTempFile(out, ".manifest", ".tmp")
     val body = entries.map(jsonOf).mkString("", "\n", "\n")
+    val v = versions(out.toString).lastOption.getOrElse(0L) + 1
+    val tmpV = Files.createTempFile(out, ".manifest", ".tmp")
+    Files.writeString(tmpV, body)
+    io.publishFile(tmpV, versionPath(out, v))
+    val tmp = Files.createTempFile(out, ".manifest", ".tmp")
     Files.writeString(tmp, body)
     io.publishFile(tmp, out.resolve("manifest.json"))
   }

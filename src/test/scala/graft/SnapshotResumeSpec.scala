@@ -77,9 +77,10 @@ class SnapshotResumeSpec extends AnyFunSuite {
     }
     val out = tmpDir("seam")
     SnapshotSink.run(docs, out, nBuckets = NB, waveSize = 3, io = spy)
-    // all NB buckets published through the seam, one manifest swap per wave
+    // all NB buckets published through the seam; per wave, TWO file publishes — the
+    // immutable history version (time travel) then the HEAD swap
     assert(dirs.result().sorted === (0 until NB).map(b => s"bucket=$b"))
-    assert(manifests.get() === math.ceil(NB / 3.0).toInt)
+    assert(manifests.get() === 2 * math.ceil(NB / 3.0).toInt)
     // and the protocol's own verification still holds end to end
     assert(canon(SnapshotSink.readBack(spark, out)) ===
       canon(ExtractPipeline.extractFlat(docs)))

@@ -1,0 +1,124 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.sources.{Interleave, SnapshotSink}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Manifest time travel (Iceberg metadata-version parity): every manifest publish also
+ * writes an immutable `manifest-v%06d.json` history file, and a historical version is
+ * readable — metadata ([[SnapshotSink.readManifestAt]]) and data
+ * ([[SnapshotSink.readCommittedAt]]) — until the protocol's GC points (compaction
+ * source delete, vacuum, invalidated-bucket rebuild: the `expireSnapshots` analogue)
+ * reclaim the files it references, after which the read fails LOUDLY, never silently
+ * short. The oracle-gated form is `SparkEntry.snapshot_timetravel`; this spec covers
+ * the behaviors the flat query can't express (expiration, resume history, pruning).
+ */
+class SnapshotTimeTravelSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+  private val NB = 8
+
+  private def tmpDir(tag: String): String = {
+    val p = Paths.get(sys.props("java.io.tmpdir"), s"graft-travel-$tag")
+    SnapshotSink.deleteRecursively(p)
+    p.toString
+  }
+
+  private def docs: DataFrame = Interleave.docs(spark, sfDir)
+
+  test("each wave publishes one history version; every version reads back consistently") {
+    val out = tmpDir("waves")
+    SnapshotSink.run(docs, out, nBuckets = NB, waveSize = 3) // waves: 3+3+2
+    assert(SnapshotSink.versions(out) === Seq(1L, 2L, 3L))
+
+    // HEAD == the last history version, and versions grow monotonically
+    val head = SnapshotSink.readManifest(spark, out)
+    assert(SnapshotSink.readManifestAt(spark, out, 3L) === head)
+    val sizes = (1L to 3L).map(SnapshotSink.readManifestAt(spark, out, _).size)
+    assert(sizes === Seq(3, 6, 8))
+
+    // the version-resolved DATA scan matches each version's manifest exactly:
+    // row count AND the bucket set (append-only history => all versions readable)
+    (1L to 3L).foreach { v =>
+      val entries = SnapshotSink.readManifestAt(spark, out, v)
+      val got = SnapshotSink.readCommittedAt(spark, out, v)
+      assert(got.count() === entries.map(_.rows).sum)
+      assert(got.select(col("bucket").cast("long")).distinct()
+        .collect().map(_.getLong(0)).sorted.toSeq ===
+        entries.filter(_.rows > 0).map(_.bucket).sorted)
+    }
+  }
+
+  test("resume appends history; rebuilding a bucket expires versions that referenced it") {
+    val out = tmpDir("resume")
+    SnapshotSink.run(docs, out, nBuckets = NB, waveSize = NB)
+    assert(SnapshotSink.versions(out) === Seq(1L))
+    val before = SnapshotSink.readCommittedAt(spark, out, 1L).count()
+
+    // invalidate one bucket and resume: one new wave commit => version 2
+    SnapshotSink.deleteRecursively(Paths.get(out, "data", "bucket=2"))
+    val report = SnapshotSink.run(docs, out, nBuckets = NB, waveSize = NB)
+    assert(report.processed === Seq(2L))
+    assert(SnapshotSink.versions(out) === Seq(1L, 2L))
+
+    // version 2 is the healed table, same totals
+    assert(SnapshotSink.readCommittedAt(spark, out, 2L).count() === before)
+
+    // version 1 referenced the ORIGINAL bucket-2 files, which the rebuild replaced —
+    // the expireSnapshots analogue. The read must fail loudly, not return short.
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotSink.readCommittedAt(spark, out, 1L)
+    }
+    assert(ex.getMessage.contains("EXPIRED"))
+    // ... while its METADATA stays readable (lineage history survives data GC)
+    assert(SnapshotSink.readManifestAt(spark, out, 1L).size === NB)
+  }
+
+  test("expireVersions prunes history files, keeps HEAD, and refuses negatives") {
+    val out = tmpDir("expire")
+    SnapshotSink.run(docs, out, nBuckets = NB, waveSize = 2) // 4 waves => 4 versions
+    assert(SnapshotSink.versions(out) === Seq(1L, 2L, 3L, 4L))
+
+    assert(SnapshotSink.expireVersions(out, keepLast = 2) === Seq(1L, 2L))
+    assert(SnapshotSink.versions(out) === Seq(3L, 4L))
+    // HEAD untouched; the surviving versions still resolve
+    assert(SnapshotSink.readManifest(spark, out).size === NB)
+    assert(SnapshotSink.readCommittedAt(spark, out, 4L).count() ===
+      SnapshotSink.readManifest(spark, out).map(_.rows).sum)
+    // a pruned version is a clean miss with the available list in the message
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotSink.readManifestAt(spark, out, 1L)
+    }
+    assert(ex.getMessage.contains("no manifest version 1"))
+    assert(intercept[IllegalArgumentException] {
+      SnapshotSink.expireVersions(out, -1)
+    }.getMessage.contains("keepLast"))
+
+    // a later commit continues AFTER the highest ever used, never reusing a number
+    SnapshotSink.deleteRecursively(Paths.get(out, "data", "bucket=0"))
+    SnapshotSink.run(docs, out, nBuckets = NB, waveSize = NB)
+    assert(SnapshotSink.versions(out) === Seq(3L, 4L, 5L))
+  }
+
+  test("pre-history snapshots degrade gracefully") {
+    val out = tmpDir("prehist")
+    SnapshotSink.run(docs, out, nBuckets = NB, waveSize = NB)
+    // simulate a snapshot written before history existed: delete the version files
+    SnapshotSink.versions(out).foreach(v =>
+      Files.delete(Paths.get(out, f"manifest-v$v%06d.json")))
+    assert(SnapshotSink.versions(out) === Seq.empty)
+    assert(SnapshotSink.readManifest(spark, out).size === NB) // HEAD unaffected
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotSink.readManifestAt(spark, out, 1L)
+    }
+    assert(ex.getMessage.contains("available: []"))
+    // the next commit starts history at 1
+    SnapshotSink.deleteRecursively(Paths.get(out, "data", "bucket=5"))
+    SnapshotSink.run(docs, out, nBuckets = NB, waveSize = NB)
+    assert(SnapshotSink.versions(out) === Seq(1L))
+  }
+}
