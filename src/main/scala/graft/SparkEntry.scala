@@ -190,6 +190,28 @@ object SparkEntry {
       .orderBy(col("version"))
   }
 
+  /** Incremental CHANGE read (the changelog consumer) under the DuckDB gate: after
+    * the same 2-wave commit as [[snapshotTimetravel]],
+    * [[graft.sources.SnapshotSink.readChangesBetween]] (v1 -> v2) must surface
+    * exactly the second wave's buckets (nb/2 .. nb-1) with their per-bucket span
+    * counts — a diff that leaks unchanged buckets, drops changed ones, or resolves
+    * the wrong files hash-mismatches. The healed-bucket (re-extraction) diff case is
+    * covered by SnapshotTimeTravelSpec, where the protocol can be crashed mid-flight. */
+  private def snapshotChanges(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotSink
+    val nb = SnapshotSink.DefaultBuckets
+    val out = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-snapchanges-query-" + dir.replaceAll("[^a-z0-9.]", "-"))
+    SnapshotSink.deleteRecursively(out)
+    SnapshotSink.run(Interleave.materializedDocsBucketed(s, dir, nb), out.toString,
+      nBuckets = nb, waveSize = nb / 2)
+    SnapshotSink.readChangesBetween(s, out.toString, 1L, 2L)
+      .groupBy(col("bucket").cast("int").as("bucket"))
+      .agg(count(lit(1)).as("rows_"),
+        sum(when(col("error").isNotNull, 1L).otherwise(0L)).as("n_err"))
+      .orderBy(col("bucket"))
+  }
+
   /** Streamed ingest -> COMPACTION -> canonical generation, under the DuckDB gate:
     * commit the corpus as [[graft.functions.OracleSql.CompactBatches]] synthetic
     * stream micro-batches (composite manifest ids `batchId*nBuckets + bucket`,
@@ -241,6 +263,7 @@ object SparkEntry {
     "snapshot_resume" -> (snapshotResume(_, _)),
     "snapshot_compact" -> (snapshotCompact(_, _)),
     "snapshot_timetravel" -> (snapshotTimetravel(_, _)),
+    "snapshot_changes" -> (snapshotChanges(_, _)),
     "hocr_words" -> ((s, dir) => {
       import graft.functions.HocrAlto
       ExtractPipeline.extractFlat(Interleave.docs(s, dir))
@@ -351,6 +374,7 @@ object SparkEntry {
     "snapshot_resume" -> OracleSql.snapshotResume,
     "snapshot_compact" -> OracleSql.snapshotCompact,
     "snapshot_timetravel" -> OracleSql.snapshotTimetravel,
+    "snapshot_changes" -> OracleSql.snapshotChanges,
     "hocr_words" -> OracleSql.hocrWords,
     "alto_words" -> OracleSql.altoWords,
     "pdf_words" -> OracleSql.pdfWords,

@@ -194,6 +194,19 @@ object OracleSql {
        |LEFT JOIN per_bucket b ON b.bucket < $SnapshotBuckets / 2 * v.version
        |GROUP BY v.version ORDER BY version""".stripMargin
 
+  /** Mirror of SparkEntry.snapshotChanges: the incremental diff between history
+    * versions 1 and 2 of a 2-wave commit is exactly the SECOND wave's buckets
+    * (nBuckets/2 .. nBuckets-1, ascending wave order), each with its full per-bucket
+    * span counts — unchanged first-wave buckets must NOT appear. */
+  val snapshotChanges: String =
+    s"""$extractionCtes
+       |SELECT CAST(CAST(substr(doc_id, 5) AS BIGINT) % $SnapshotBuckets AS INT) AS bucket,
+       |       CAST(count(*) AS BIGINT) AS rows_,
+       |       CAST(sum(CASE WHEN error IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_err
+       |FROM extracted
+       |WHERE CAST(substr(doc_id, 5) AS BIGINT) % $SnapshotBuckets >= $SnapshotBuckets / 2
+       |GROUP BY 1 ORDER BY bucket""".stripMargin
+
   /** Number of synthetic stream micro-batches `SparkEntry.snapshotCompact` commits
     * before compacting. The compacted generation index equals this count (batch ids
     * 0..N-1 occupy generations 0..N-1, so the rewrite lands at generation N) —

@@ -358,6 +358,46 @@ object SnapshotSink {
     drop
   }
 
+  /** Buckets whose committed state DIFFERS between history versions `fromV` and
+    * `toV` (new, re-extracted/healed, or compacted-away-and-rewritten buckets).
+    * Identity is the recorded FILE LIST (names + sizes + per-file md5), not the
+    * logical row counts: a re-extraction of identical documents produces identical
+    * rows but new data files, and an incremental consumer keyed on physical state
+    * must see it (it cannot know the bytes are equivalent without reading them).
+    * Buckets present in `fromV` but absent from `toV` (compaction rewrote them to a
+    * new generation id) are NOT returned — the new generation's ids are. */
+  def changedBuckets(spark: SparkSession, outDir: String,
+      fromV: Long, toV: Long): Seq[Long] = {
+    require(fromV <= toV, s"fromV $fromV must be <= toV $toV")
+    def key(e: ManifestEntry) = (e.files, e.file_sizes, e.file_hashes)
+    val before = readManifestAt(spark, outDir, fromV).map(e => e.bucket -> key(e)).toMap
+    readManifestAt(spark, outDir, toV)
+      .filter(e => !before.get(e.bucket).contains(key(e)))
+      .map(_.bucket).sorted
+  }
+
+  /** Incremental read (the changelog consumer's scan): the rows of exactly the
+    * buckets [[changedBuckets]] reports between `fromV` and `toV`, resolved through
+    * version `toV`'s manifest. At 100 TB this is what a downstream pipeline
+    * (re-embedding, re-indexing, derived-table refresh) consumes after a resume or
+    * a late-arriving stream batch — O(changed buckets) bytes, never a full-table
+    * re-read. Same expiration contract as [[readCommittedAt]]. */
+  def readChangesBetween(spark: SparkSession, outDir: String,
+      fromV: Long, toV: Long): DataFrame = {
+    val out = Paths.get(outDir)
+    val changed = changedBuckets(spark, outDir, fromV, toV).toSet
+    val entries = readManifestAt(spark, outDir, toV).filter(e => changed(e.bucket))
+    val files = entries.flatMap(e => e.files.map(f => bucketDir(out, e.bucket).resolve(f)))
+    val missing = files.filterNot(Files.isRegularFile(_))
+    require(missing.isEmpty,
+      s"incremental read $fromV -> $toV is EXPIRED: ${missing.size} of " +
+        s"${files.size} data files were reclaimed. First missing: " +
+        missing.headOption.getOrElse("-"))
+    if (files.isEmpty) readBack(spark, outDir).limit(0)
+    else spark.read.option("basePath", out.resolve("data").toString)
+      .parquet(files.map(_.toString): _*)
+  }
+
   /**
    * Streaming entry point: commit ONE micro-batch of already-extracted flat spans
    * through the SAME wave-commit protocol as the batch sink (staging write ->

@@ -104,6 +104,49 @@ class SnapshotTimeTravelSpec extends AnyFunSuite {
     assert(SnapshotSink.versions(out) === Seq(3L, 4L, 5L))
   }
 
+  test("incremental diff: a healed bucket is the ONLY change; new waves are additive") {
+    val out = tmpDir("changes")
+    SnapshotSink.run(docs, out, nBuckets = NB, waveSize = 4) // v1 = 0..3, v2 = all
+    assert(SnapshotSink.changedBuckets(spark, out, 1L, 2L) === (4L until NB))
+    assert(SnapshotSink.changedBuckets(spark, out, 2L, 2L) === Seq.empty) // reflexive
+    val secondWaveRows = SnapshotSink.readManifest(spark, out)
+      .filter(_.bucket >= 4).map(_.rows).sum
+    assert(SnapshotSink.readChangesBetween(spark, out, 1L, 2L).count() ===
+      secondWaveRows)
+
+    // heal one bucket: the diff v2 -> v3 is exactly the victim — identical LOGICAL
+    // rows, but new physical files, which an incremental consumer must see
+    SnapshotSink.deleteRecursively(Paths.get(out, "data", "bucket=6"))
+    SnapshotSink.run(docs, out, nBuckets = NB, waveSize = NB)
+    assert(SnapshotSink.versions(out) === Seq(1L, 2L, 3L))
+    assert(SnapshotSink.changedBuckets(spark, out, 2L, 3L) === Seq(6L))
+    val victimRows = SnapshotSink.readManifest(spark, out)
+      .find(_.bucket == 6L).get.rows
+    val inc = SnapshotSink.readChangesBetween(spark, out, 2L, 3L)
+    assert(inc.count() === victimRows)
+    assert(inc.select(col("bucket").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq === Seq(6L))
+    // spanning diff (v1 -> v3) = second wave + the heal, deduplicated
+    assert(SnapshotSink.changedBuckets(spark, out, 1L, 3L) === (4L until NB))
+  }
+
+  test("incremental diff across compaction: the new generation's ids are the changes") {
+    import graft.operators.ExtractPipeline
+    val out = tmpDir("chgcompact")
+    val flat = ExtractPipeline.extractFlat(docs)
+    SnapshotSink.commitStreamBatch(flat, out, batchId = 0L, NB) // v1: ids 0..7
+    val vBefore = SnapshotSink.versions(out).last
+    SnapshotSink.commitStreamBatch(flat.limit(0), out, batchId = 1L, NB) // v2: empty batch
+    val report = SnapshotSink.compact(spark, out, NB)
+    assert(!report.noop)
+    val vAfter = SnapshotSink.versions(out).last
+    val changed = SnapshotSink.changedBuckets(spark, out, vBefore, vAfter)
+    // every surviving id is a new-generation id; old composite ids are gone from HEAD
+    assert(changed.nonEmpty && changed.forall(_ >= report.generation * NB))
+    assert(SnapshotSink.readChangesBetween(spark, out, vBefore, vAfter).count() ===
+      SnapshotSink.readManifest(spark, out).map(_.rows).sum)
+  }
+
   test("pre-history snapshots degrade gracefully") {
     val out = tmpDir("prehist")
     SnapshotSink.run(docs, out, nBuckets = NB, waveSize = NB)
