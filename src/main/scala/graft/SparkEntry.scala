@@ -358,7 +358,14 @@ object SparkEntry {
     "repetition" -> ((s, dir) => graft.operators.Hygiene.repetition(documents(s, dir))),
     "decontaminate" -> ((s, dir) => graft.operators.Hygiene.decontaminate(documents(s, dir))),
     "pii_redact" -> ((s, dir) => graft.operators.Hygiene.piiRedact(
-      graft.operators.Hygiene.withPii(documents(s, dir))))
+      graft.operators.Hygiene.withPii(documents(s, dir)))),
+    // ---- corpus curation: mixing + quality funnel ----------------------------------
+    "sample_stratified" -> ((s, dir) =>
+      graft.operators.Curation.sampleStratified(documents(s, dir))),
+    "quality_filter" -> ((s, dir) =>
+      graft.operators.Curation.qualityFilter(documents(s, dir))),
+    "quality_funnel" -> ((s, dir) =>
+      graft.operators.Curation.qualityFunnel(documents(s, dir)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -403,6 +410,9 @@ object SparkEntry {
     "top_terms" -> graft.functions.OracleSqlText.topTerms,
     "repetition" -> graft.functions.OracleSqlHygiene.repetition,
     "decontaminate" -> graft.functions.OracleSqlHygiene.decontaminate,
-    "pii_redact" -> graft.functions.OracleSqlHygiene.piiRedact
+    "pii_redact" -> graft.functions.OracleSqlHygiene.piiRedact,
+    "sample_stratified" -> graft.functions.OracleSqlCuration.sampleStratified,
+    "quality_filter" -> graft.functions.OracleSqlCuration.qualityFilter,
+    "quality_funnel" -> graft.functions.OracleSqlCuration.qualityFunnel
   )
 }

@@ -1,0 +1,71 @@
+package graft.functions
+
+import graft.operators.Curation
+
+/** DuckDB mirrors for the curation operators ([[graft.operators.Curation]]).
+  *
+  * Every rate/threshold interpolates from the Scala constants — the CASE chain, the
+  * hex thresholds, and the stage labels cannot drift from the Spark side. The
+  * sampling rule is portable by construction: lowercase-hex md5 on both engines, and
+  * an 8-char hex substring compared lexicographically is a uniform-u32 comparison. */
+object OracleSqlCuration {
+
+  private def keyExpr: String =
+    s"substr(md5('${Curation.MixSalt}:' || CAST(doc_id AS VARCHAR)), 1, 8)"
+
+  val sampleStratified: String = {
+    val cases = Curation.MixRates.map { case (lang, rate) =>
+      val cond =
+        if (rate >= 1.0) "TRUE"
+        else s"$keyExpr < '${Curation.thresholdHex(rate)}'"
+      s"WHEN lang = '$lang' THEN $cond"
+    }.mkString("\n       |            ")
+    s"""SELECT doc_id, lang, $keyExpr AS sample_key
+       |FROM documents
+       |WHERE CASE $cases
+       |            ELSE $keyExpr < '${Curation.thresholdHex(Curation.MixDefaultRate)}'
+       |       END
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  private def stageCtes: String = {
+    val st = Curation.FunnelStages
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |         len(string_split(text, ' ')) AS n_tok,
+       |         len(list_distinct(string_split(text, ' '))) AS n_dist,
+       |         len(list_filter(string_split(text, ' '),
+       |             x -> x IN ('${graft.operators.TextAnalysis.Stopwords.mkString("','")}'))) AS n_stop
+       |  FROM documents
+       |),
+       |v AS (
+       |  SELECT doc_id,
+       |         CASE WHEN n_tok < ${Curation.MinTokens} THEN '${st(0)}'
+       |              WHEN CAST(floor(1000000.0 * n_dist / n_tok) AS BIGINT) < ${Curation.MinRichnessE6} THEN '${st(1)}'
+       |              WHEN CAST(floor(1000000.0 * n_stop / n_tok) AS BIGINT) > ${Curation.MaxStopRatioE6} THEN '${st(2)}'
+       |              WHEN n_stop = 0 THEN '${st(3)}'
+       |              ELSE '${st(4)}' END AS stage
+       |  FROM m
+       |)""".stripMargin
+  }
+
+  val qualityFilter: String =
+    s"""$stageCtes
+       |SELECT doc_id, stage,
+       |       CAST(CASE WHEN stage = '${Curation.FunnelStages.last}' THEN 1 ELSE 0 END AS INT) AS kept
+       |FROM v ORDER BY doc_id""".stripMargin
+
+  val qualityFunnel: String = {
+    val dim = Curation.FunnelStages.zipWithIndex
+      .map { case (s, i) => s"($i, '$s')" }.mkString(", ")
+    s"""$stageCtes,
+       |dim(stage_idx, stage) AS (SELECT * FROM (VALUES $dim)),
+       |c AS (SELECT stage, CAST(count(*) AS BIGINT) AS n_docs FROM v GROUP BY stage),
+       |n AS (SELECT count(*) AS total FROM documents)
+       |SELECT CAST(dim.stage_idx AS INT) AS stage_idx, dim.stage,
+       |       coalesce(c.n_docs, 0) AS n_docs,
+       |       CAST(floor(1000000.0 * coalesce(c.n_docs, 0) / n.total) AS BIGINT) AS share_e6
+       |FROM dim LEFT JOIN c ON dim.stage = c.stage, n
+       |ORDER BY stage_idx""".stripMargin
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Curation operators: deterministic stratified sampling + the quality funnel. */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("thresholdHex: 8 lowercase hex digits, monotone in the rate, saturates at 1.0") {
+    assert(Curation.thresholdHex(0.0) === "00000000")
+    assert(Curation.thresholdHex(0.5) === "80000000")
+    assert(Curation.thresholdHex(1.0) === "ffffffff") // floor(2^32) clamped to u32 max
+    val rates = Seq(0.01, 0.1, 0.25, 0.5, 0.9, 0.999)
+    assert(rates.map(Curation.thresholdHex) === rates.map(Curation.thresholdHex).sorted)
+    rates.foreach(r => assert(Curation.thresholdHex(r).matches("[0-9a-f]{8}")))
+  }
+
+  test("sampling is deterministic: two runs select byte-identical membership") {
+    val a = Curation.sampleStratified(docs).collect().toSeq
+    val b = Curation.sampleStratified(docs).collect().toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
+  test("per-stratum keep counts sit inside 4-sigma binomial bounds; rate-1.0 is exact") {
+    val byLang = docs.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Curation.sampleStratified(docs)
+      .groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Curation.MixRates.foreach { case (lang, rate) =>
+      val n = byLang(lang)
+      val k = kept.getOrElse(lang, 0L).toDouble
+      if (rate >= 1.0) assert(k === n.toDouble, s"rate-1.0 stratum $lang must keep all")
+      else {
+        val sigma = math.sqrt(n * rate * (1 - rate))
+        assert(math.abs(k - n * rate) <= 4 * sigma + 1,
+          s"stratum $lang: kept $k of $n at rate $rate (expected ~${n * rate})")
+      }
+    }
+  }
+
+  test("a salt bump re-rolls membership (draws are independent across versions)") {
+    // same rule, different salt, computed inline — the operator's key must not be
+    // reproducible from a stale salt
+    val altKey = substring(
+      md5(concat_ws(":", lit(Curation.MixSalt + "-alt"), $"doc_id".cast("string"))), 1, 8)
+    val alt = docs
+      .select($"doc_id", $"lang", altKey.as("k"))
+      .filter($"lang" === "en" && $"k" < lit(Curation.thresholdHex(0.5)))
+      .select($"doc_id").as[Long].collect().toSet
+    val cur = Curation.sampleStratified(docs)
+      .filter($"lang" === "en")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(alt !== cur, "independent draws coinciding exactly is astronomically unlikely")
+    // ... but at the same 0.5 rate both should be plausible samples
+    assert(math.abs(alt.size - cur.size) < cur.size)
+  }
+
+  test("sampler plan is a shuffle-free scan (pure filter, no Exchange)") {
+    // the registered query's trailing orderBy plans one range exchange for OUTPUT
+    // ordering (driver-compare requirement, not part of the operator); the sampling
+    // rule itself — the same key/threshold filter without the presentation sort —
+    // must plan as a pure scan+filter
+    val filterOnly = docs
+      .select($"doc_id", $"lang")
+      .filter(substring(md5(concat_ws(":", lit(Curation.MixSalt),
+        $"doc_id".cast("string"))), 1, 8) < lit(Curation.thresholdHex(0.5)))
+      .queryExecution.executedPlan
+    assert(filterOnly.collect { case e: Exchange => e }.isEmpty)
+  }
+
+  test("funnel stages partition the corpus; every label is a declared stage") {
+    val verdicts = Curation.qualityFilter(docs)
+    assert(verdicts.count() === docs.count())
+    val labels = verdicts.select($"stage").distinct().as[String].collect().toSet
+    assert(labels.subsetOf(Curation.FunnelStages.toSet))
+    val funnel = Curation.qualityFunnel(docs).collect()
+    assert(funnel.map(_.getString(1)).toSeq === Curation.FunnelStages)
+    assert(funnel.map(_.getLong(2)).sum === docs.count())
+    // kept flag agrees with the pass label
+    val mismatched = verdicts.filter(
+      ($"stage" === "pass" && $"kept" =!= 1) || ($"stage" =!= "pass" && $"kept" =!= 0))
+    assert(mismatched.isEmpty)
+  }
+
+  test("funnel is non-degenerate on the synthetic corpus: pass and at least one reject") {
+    val counts = Curation.qualityFunnel(docs).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(counts("pass") > 0, "thresholds reject the whole corpus — retune")
+    assert(counts.filterNot(_._1 == "pass").values.sum > 0,
+      "thresholds reject nothing — the funnel is vacuous")
+  }
+}
