@@ -349,13 +349,82 @@ object SnapshotSink {
   }
 
   /** Prune manifest history to the newest `keepLast` versions (HEAD `manifest.json`
-    * is untouched — it is the current table either way). Returns pruned versions. */
+    * is untouched — it is the current table either way). TAGGED versions ([[tag]])
+    * are always retained regardless of age — the Iceberg `expireSnapshots` ref
+    * semantics: a named ref pins its snapshot's METADATA against expiration (the
+    * data files remain subject to the usual eager-GC points, and a tagged version
+    * whose files were reclaimed still fails loudly on read). Returns pruned
+    * versions. */
   def expireVersions(outDir: String, keepLast: Int): Seq[Long] = {
     require(keepLast >= 0, s"keepLast must be >= 0, got $keepLast")
     val out = Paths.get(outDir)
-    val drop = versions(outDir).dropRight(keepLast)
+    val pinned = tags(outDir).values.toSet
+    val drop = versions(outDir).dropRight(keepLast).filterNot(pinned)
     drop.foreach(v => Files.deleteIfExists(versionPath(out, v)))
     drop
+  }
+
+  // ---- named refs (tags) --------------------------------------------------------
+  //
+  // Iceberg-style named references into the version history: a tag is an immutable
+  // name -> version pointer ("the snapshot training run 7 read from"), resolved at
+  // read time through the same time-travel machinery. Refs live in `refs.json`
+  // (JSON lines, one per tag) and publish through the CommitIo seam like every
+  // other metadata swap — a crash mid-retag leaves either the old or the new refs
+  // file, never a torn one.
+
+  private val TagNameRe = "[A-Za-z0-9._-]{1,64}".r
+
+  /** Current tags, name -> version (empty if none). */
+  def tags(outDir: String): Map[String, Long] = {
+    val p = Paths.get(outDir).resolve("refs.json")
+    if (!Files.exists(p)) return Map.empty
+    val TagLine = """\{"name":"([^"]+)","version":(\d+)\}""".r
+    Files.readAllLines(p).asScala.flatMap {
+      case TagLine(n, v) => Some(n -> v.toLong)
+      case _ => None
+    }.toMap
+  }
+
+  /** Create or move the named tag to history version `v` (which must exist NOW —
+    * a tag can never be born dangling; it can only dangle later if the version's
+    * data files are reclaimed, and then reads fail loudly like any expired read). */
+  def tag(outDir: String, name: String, v: Long,
+      io: CommitIo = PosixCommitIo): Unit = {
+    require(TagNameRe.matches(name),
+      s"tag name '$name' must match ${TagNameRe.regex}")
+    require(versions(outDir).contains(v),
+      s"cannot tag version $v — not in history [${versions(outDir).mkString(", ")}]")
+    writeTags(Paths.get(outDir), tags(outDir) + (name -> v), io)
+  }
+
+  /** Remove the named tag (idempotent), releasing its expiration pin. */
+  def dropTag(outDir: String, name: String, io: CommitIo = PosixCommitIo): Unit = {
+    val t = tags(outDir)
+    if (t.contains(name)) writeTags(Paths.get(outDir), t - name, io)
+  }
+
+  private def resolveTag(outDir: String, name: String): Long =
+    tags(outDir).getOrElse(name,
+      throw new IllegalArgumentException(
+        s"no tag '$name' under $outDir — available: " +
+          s"[${tags(outDir).keys.toSeq.sorted.mkString(", ")}]"))
+
+  /** [[readCommittedAt]] resolved through a named tag. */
+  def readCommittedAtTag(spark: SparkSession, outDir: String, name: String): DataFrame =
+    readCommittedAt(spark, outDir, resolveTag(outDir, name))
+
+  /** [[lineageAt]] resolved through a named tag. */
+  def lineageAtTag(spark: SparkSession, outDir: String, name: String): DataFrame =
+    lineageAt(spark, outDir, resolveTag(outDir, name))
+
+  private def writeTags(out: Path, t: Map[String, Long], io: CommitIo): Unit = {
+    val body = t.toSeq.sortBy(_._1)
+      .map { case (n, v) => s"""{"name":"$n","version":$v}""" }
+      .mkString("", "\n", "\n")
+    val tmp = Files.createTempFile(out, ".refs", ".tmp")
+    Files.writeString(tmp, body)
+    io.publishFile(tmp, out.resolve("refs.json"))
   }
 
   /** Buckets whose committed state DIFFERS between history versions `fromV` and

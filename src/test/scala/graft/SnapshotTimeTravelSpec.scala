@@ -147,6 +147,44 @@ class SnapshotTimeTravelSpec extends AnyFunSuite {
       SnapshotSink.readManifest(spark, out).map(_.rows).sum)
   }
 
+  test("named refs: tags resolve reads, pin metadata against expiration, and move") {
+    val out = tmpDir("tags")
+    SnapshotSink.run(docs, out, nBuckets = NB, waveSize = 3) // versions 1..3
+    assert(SnapshotSink.tags(out) === Map.empty)
+
+    // a tag can never be born dangling
+    intercept[IllegalArgumentException] { SnapshotSink.tag(out, "prod", 9L) }
+    intercept[IllegalArgumentException] { SnapshotSink.tag(out, "bad name!", 1L) }
+
+    SnapshotSink.tag(out, "run-7", 1L)
+    SnapshotSink.tag(out, "prod", 3L)
+    assert(SnapshotSink.tags(out) === Map("run-7" -> 1L, "prod" -> 3L))
+
+    // tag-resolved reads == version-resolved reads (metadata and data)
+    assert(SnapshotSink.lineageAtTag(spark, out, "run-7").count() === 3L)
+    assert(SnapshotSink.readCommittedAtTag(spark, out, "run-7").count() ===
+      SnapshotSink.readCommittedAt(spark, out, 1L).count())
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotSink.readCommittedAtTag(spark, out, "nope")
+    }
+    assert(ex.getMessage.contains("prod") && ex.getMessage.contains("run-7"))
+
+    // expiration keeps tagged versions: keepLast=1 would drop v1 and v2, but
+    // run-7 pins v1 — only the untagged v2 goes
+    assert(SnapshotSink.expireVersions(out, keepLast = 1) === Seq(2L))
+    assert(SnapshotSink.versions(out) === Seq(1L, 3L))
+    assert(SnapshotSink.readCommittedAtTag(spark, out, "run-7").count() > 0)
+
+    // retag moves the pointer; dropTag releases the pin and the next expire
+    // reclaims the version
+    SnapshotSink.tag(out, "run-7", 3L)
+    assert(SnapshotSink.tags(out)("run-7") === 3L)
+    SnapshotSink.dropTag(out, "run-7")
+    SnapshotSink.dropTag(out, "run-7") // idempotent
+    assert(SnapshotSink.expireVersions(out, keepLast = 1) === Seq(1L))
+    assert(SnapshotSink.versions(out) === Seq(3L)) // v3 still pinned by 'prod' + keepLast
+  }
+
   test("pre-history snapshots degrade gracefully") {
     val out = tmpDir("prehist")
     SnapshotSink.run(docs, out, nBuckets = NB, waveSize = NB)
