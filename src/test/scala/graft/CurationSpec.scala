@@ -77,6 +77,17 @@ class CurationSpec extends AnyFunSuite {
     assert(filterOnly.collect { case e: Exchange => e }.isEmpty)
   }
 
+  test("sampler scan prunes to (doc_id, lang) — never reads text bytes") {
+    // at 100 TB the text column IS the table; a mixing pass that keys on doc_id
+    // must not drag it through the scan
+    val plan = Curation.sampleStratified(docs).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val scans = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scans.nonEmpty)
+    assert(scans.forall(s => s.contains("doc_id") && !s.contains("text")),
+      s"sampler scan must read only (doc_id, lang): $scans")
+  }
+
   test("funnel stages partition the corpus; every label is a declared stage") {
     val verdicts = Curation.qualityFilter(docs)
     assert(verdicts.count() === docs.count())

@@ -21,13 +21,14 @@ class PlanSpec extends AnyFunSuite {
 
   private def planOf(df: DataFrame): String = df.queryExecution.executedPlan.toString
 
-  // snapshot_lineage / snapshot_resume / snapshot_compact are excluded: building
-  // their DataFrames RUNS the snapshot protocol (covered by SnapshotResumeSpec /
-  // SnapshotCompactSpec); the returned lineage frames are local manifest tables
-  // with no join surface.
+  // The snapshot_* protocol queries are excluded: building their DataFrames RUNS
+  // the snapshot protocol (covered by SnapshotResumeSpec / SnapshotCompactSpec /
+  // SnapshotTimeTravelSpec); the returned frames are local manifest tables or
+  // single-table committed-parquet aggregations with no join surface.
   private val planChecked =
     SparkEntry.queries.keys
-      .filterNot(Set("snapshot_lineage", "snapshot_resume", "snapshot_compact"))
+      .filterNot(Set("snapshot_lineage", "snapshot_resume", "snapshot_compact",
+        "snapshot_timetravel", "snapshot_changes"))
       .toSeq.sorted
 
   test("no registered query plans a BroadcastNestedLoopJoin or CartesianProduct") {
