@@ -365,7 +365,9 @@ object SparkEntry {
     "quality_filter" -> ((s, dir) =>
       graft.operators.Curation.qualityFilter(documents(s, dir))),
     "quality_funnel" -> ((s, dir) =>
-      graft.operators.Curation.qualityFunnel(documents(s, dir)))
+      graft.operators.Curation.qualityFunnel(documents(s, dir))),
+    "corpus_stats" -> ((s, dir) =>
+      graft.operators.Curation.corpusStats(documents(s, dir)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -413,6 +415,7 @@ object SparkEntry {
     "pii_redact" -> graft.functions.OracleSqlHygiene.piiRedact,
     "sample_stratified" -> graft.functions.OracleSqlCuration.sampleStratified,
     "quality_filter" -> graft.functions.OracleSqlCuration.qualityFilter,
-    "quality_funnel" -> graft.functions.OracleSqlCuration.qualityFunnel
+    "quality_funnel" -> graft.functions.OracleSqlCuration.qualityFunnel,
+    "corpus_stats" -> graft.functions.OracleSqlCuration.corpusStats
   )
 }

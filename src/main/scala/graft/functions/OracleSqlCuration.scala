@@ -28,6 +28,23 @@ object OracleSqlCuration {
        |ORDER BY doc_id""".stripMargin
   }
 
+  val corpusStats: String =
+    """WITH t AS (
+      |  SELECT lang, source, len(string_split(text, ' ')) AS n_tok, n_chars
+      |  FROM documents
+      |),
+      |n AS (SELECT count(*) AS total FROM documents)
+      |SELECT lang, source,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      |       CAST(min(n_tok) AS BIGINT) AS min_tokens,
+      |       CAST(max(n_tok) AS BIGINT) AS max_tokens,
+      |       CAST(floor(1000000.0 * count(*) / any_value(n.total)) AS BIGINT) AS share_e6
+      |FROM t, n
+      |GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin
+
   private def stageCtes: String = {
     val st = Curation.FunnelStages
     s"""WITH m AS (

@@ -78,6 +78,28 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Dataset-card rollup: per (lang, source) cell — document/token/char totals,
+    * length extremes, and exact-integer corpus share. The summary table a curated
+    * training set ships with (and the input to mixing-rate decisions like
+    * [[MixRates]]). One shuffle over ~|langs|x|sources| keys with map-side partials;
+    * the token counts ride the same single token-array pass as everything else. */
+  def corpusStats(documents: DataFrame): DataFrame = {
+    val total = documents.count() // share denominator: one tiny job
+    val nTok = size(split(col("text"), " ")).cast("long")
+    documents
+      .select(col("lang"), col("source"), nTok.as("n_tok"), col("n_chars"))
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_chars")).cast("long").as("n_chars"),
+        min(col("n_tok")).as("min_tokens"),
+        max(col("n_tok")).as("max_tokens"))
+      .withColumn("share_e6",
+        floor(lit(1000000.0) * col("n_docs") / lit(total)).cast("long"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   // ---- quality funnel -----------------------------------------------------------
 
   /** Funnel thresholds (applied to the exact-integer metrics of

@@ -102,6 +102,19 @@ class CurationSpec extends AnyFunSuite {
     assert(mismatched.isEmpty)
   }
 
+  test("corpus stats: cells cover the corpus exactly; extremes bound the totals") {
+    val stats = Curation.corpusStats(docs).collect()
+    assert(stats.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    // share_e6 sums to ~1e6 (floor per cell loses < 1 per cell)
+    val share = stats.map(_.getAs[Long]("share_e6")).sum
+    assert(share > 1000000L - stats.length && share <= 1000000L)
+    stats.foreach { r =>
+      val (lo, hi, tok, n) = (r.getAs[Long]("min_tokens"), r.getAs[Long]("max_tokens"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("n_docs"))
+      assert(lo <= hi && tok >= lo * n && tok <= hi * n)
+    }
+  }
+
   test("funnel is non-degenerate on the synthetic corpus: pass and at least one reject") {
     val counts = Curation.qualityFunnel(docs).collect()
       .map(r => r.getString(1) -> r.getLong(2)).toMap
