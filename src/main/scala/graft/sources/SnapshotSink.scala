@@ -467,6 +467,90 @@ object SnapshotSink {
       .parquet(files.map(_.toString): _*)
   }
 
+  /** Outcome of a [[deleteDocs]] takedown: rows actually removed and the buckets
+    * rewritten (requested ids absent from the snapshot cost nothing). */
+  final case class DeleteReport(deletedRows: Long, rewrittenBuckets: Seq[Long])
+
+  /**
+   * Row-level DELETE (takedown / right-to-be-forgotten): remove every span of the
+   * given doc_ids from the committed snapshot by rewriting ONLY their buckets —
+   * copy-on-write at bucket granularity through the same staged-write -> re-read ->
+   * publish -> distributed-hash -> manifest-republish cycle as every other write.
+   *
+   * Scale shape: the bucket function routes each requested id to exactly one bucket
+   * driver-side (no scan), so a takedown of k documents over a 10^12-doc snapshot
+   * reads and rewrites at most k buckets' bytes — never the table. Buckets whose
+   * files contain NO matching rows (id never existed, or already deleted) are left
+   * byte-identical, verified cheaply by one pruned count per affected bucket.
+   *
+   * Deletion is PHYSICAL by design: the rewrite deletes the bucket's old data files,
+   * which EXPIRES every history version that referenced them ([[readCommittedAt]]
+   * then fails loudly) — for a takedown that is the point; the bytes must actually
+   * go away, not linger behind a time-travel read. Manifest history retains only
+   * file NAMES and digests of the old state. The id list is driver-side
+   * (`isInCollection` -> an in-filter in codegen), the right tool up to ~10^5 ids;
+   * batch-scale purges (a whole source, a crawl slice) should instead filter at
+   * re-extraction or use an anti-join rewrite via [[compact]]-shaped machinery.
+   *
+   * Requires a canonical manifest (one entry per base bucket — true for batch
+   * snapshots and anything post-[[compact]]); a mid-stream multi-generation id
+   * space must compact first, because a doc's rows may straddle generations.
+   */
+  def deleteDocs(
+      spark: SparkSession,
+      outDir: String,
+      docIds: Seq[String],
+      nBuckets: Int = DefaultBuckets,
+      io: CommitIo = PosixCommitIo): DeleteReport = {
+    require(docIds.nonEmpty, "deleteDocs needs at least one doc_id")
+    val out = Paths.get(outDir)
+    val existing = readManifest(spark, outDir)
+    require(existing.nonEmpty, s"no committed snapshot under $outDir")
+    require(existing.map(_.bucket % nBuckets).distinct.size == existing.size,
+      "manifest is not canonical (multiple generations per base bucket — an " +
+        "un-compacted stream): run compact() first, a document's rows may " +
+        "straddle generations")
+    val idOfBase = existing.map(e => (e.bucket % nBuckets) -> e.bucket).toMap
+    // the same bucket arithmetic as bucketOf, driver-side: numeric doc_id suffix
+    val targets = docIds.toSet
+    val affected = targets.toSeq
+      .map(d => java.lang.Long.parseLong(
+        d.drop(4).take(Interleave.DocIdDigits)) % nBuckets)
+      .distinct.flatMap(idOfBase.get)
+      .filter(b => existing.find(_.bucket == b).exists(_.rows > 0))
+      .sorted
+
+    var manifest = existing.sortBy(_.bucket)
+    var deleted = 0L
+    val rewritten = Seq.newBuilder[Long]
+    affected.foreach { b =>
+      val entry = manifest.find(_.bucket == b).get
+      val files = entry.files.map(f => bucketDir(out, b).resolve(f).toString)
+      val cur = spark.read.option("basePath", out.resolve("data").toString)
+        .parquet(files: _*)
+      val matches = cur.filter(col("doc_id").isInCollection(targets)).count()
+      if (matches > 0) {
+        val t0 = System.nanoTime()
+        val kept = cur
+          .filter(!col("doc_id").isInCollection(targets))
+          .withColumn("bucket", lit(b))
+        val spanCols = Seq("kind", "ok", "error", "text", "n_words", "conf_sum")
+        val layout =
+          if (kept.columns.contains("doc_id") && kept.columns.contains("offset"))
+            Seq("bucket", "doc_id", "offset")
+          else "bucket" +: kept.columns.find(_ != "bucket").toSeq
+        val (m2, _) = commitWaveFlat(spark, out, kept, Seq(b),
+          manifest.filterNot(_.bucket == b), t0, io = io, layoutCols = layout,
+          spanMetrics = spanCols.forall(kept.columns.contains))
+        manifest = m2
+        deleted += matches
+        rewritten += b
+      }
+    }
+    deleteRecursively(out.resolve("staging"))
+    DeleteReport(deleted, rewritten.result())
+  }
+
   /**
    * Streaming entry point: commit ONE micro-batch of already-extracted flat spans
    * through the SAME wave-commit protocol as the batch sink (staging write ->
