@@ -212,6 +212,36 @@ object SparkEntry {
       .orderBy(col("bucket"))
   }
 
+  /** TAKEDOWN under the DuckDB gate: full commit, then
+    * [[graft.sources.SnapshotSink.deleteDocs]] of the deterministic victim set
+    * (numeric doc id % [[OracleSql.TakedownMod]] == [[OracleSql.TakedownRes]] —
+    * single-sourced beside the SQL that predicts it). The oracle predicts per-bucket
+    * lineage with exactly the non-victim spans AND `rewritten` = 1 precisely on
+    * buckets that contained a victim — a takedown that rewrites untouched buckets,
+    * misses a victim's rows, or loses bystander rows hash-mismatches. */
+  private def snapshotTakedown(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotSink
+    val nb = SnapshotSink.DefaultBuckets
+    val out = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-snaptakedown-query-" + dir.replaceAll("[^a-z0-9.]", "-"))
+    SnapshotSink.deleteRecursively(out)
+    SnapshotSink.run(Interleave.materializedDocsBucketed(s, dir, nb), out.toString,
+      nBuckets = nb, waveSize = nb)
+    // victim list is driver-side by design (deleteDocs scaladoc: the takedown form
+    // is a bounded id list); the selector keeps it tiny at any SF used for the gate
+    val victims = documents(s, dir)
+      .filter(pmod(col("doc_id"), lit(OracleSql.TakedownMod)) === OracleSql.TakedownRes)
+      .select(format_string("doc-%013d", col("doc_id")))
+      .collect().map(_.getString(0)).toSeq
+    val report = SnapshotSink.deleteDocs(s, out.toString, victims, nb)
+    val rw = report.rewrittenBuckets.map(java.lang.Long.valueOf)
+    SnapshotSink.lineage(s, out.toString)
+      .select(col("bucket").cast("int").as("bucket"), col("rows").as("rows_"),
+        col("n_err"),
+        when(col("bucket").isInCollection(rw), 1).otherwise(0).as("rewritten"))
+      .orderBy(col("bucket"))
+  }
+
   /** Streamed ingest -> COMPACTION -> canonical generation, under the DuckDB gate:
     * commit the corpus as [[graft.functions.OracleSql.CompactBatches]] synthetic
     * stream micro-batches (composite manifest ids `batchId*nBuckets + bucket`,
@@ -264,6 +294,7 @@ object SparkEntry {
     "snapshot_compact" -> (snapshotCompact(_, _)),
     "snapshot_timetravel" -> (snapshotTimetravel(_, _)),
     "snapshot_changes" -> (snapshotChanges(_, _)),
+    "snapshot_takedown" -> (snapshotTakedown(_, _)),
     "hocr_words" -> ((s, dir) => {
       import graft.functions.HocrAlto
       ExtractPipeline.extractFlat(Interleave.docs(s, dir))
@@ -384,6 +415,7 @@ object SparkEntry {
     "snapshot_compact" -> OracleSql.snapshotCompact,
     "snapshot_timetravel" -> OracleSql.snapshotTimetravel,
     "snapshot_changes" -> OracleSql.snapshotChanges,
+    "snapshot_takedown" -> OracleSql.snapshotTakedown,
     "hocr_words" -> OracleSql.hocrWords,
     "alto_words" -> OracleSql.altoWords,
     "pdf_words" -> OracleSql.pdfWords,

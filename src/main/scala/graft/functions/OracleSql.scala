@@ -207,6 +207,41 @@ object OracleSql {
        |WHERE CAST(substr(doc_id, 5) AS BIGINT) % $SnapshotBuckets >= $SnapshotBuckets / 2
        |GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** Takedown victim selector for `SparkEntry.snapshotTakedown`: documents whose
+    * numeric id satisfies `id % TakedownMod == TakedownRes` are deleted. Single-
+    * sourced beside the SQL that predicts them (same rationale as [[ResumeVictim]]).
+    * 23/5 spreads ~4% of documents across most buckets, so the query exercises
+    * multi-bucket rewrites AND untouched buckets in one run. */
+  val TakedownMod = 23
+  val TakedownRes = 5
+
+  /** Mirror of SparkEntry.snapshotTakedown: after a full commit and
+    * [[graft.sources.SnapshotSink.deleteDocs]] of the victim set, per-bucket lineage
+    * must show exactly the NON-victim documents' spans, and `rewritten` = 1 exactly
+    * on buckets that contained a victim (bucket-granular copy-on-write: a takedown
+    * that rewrites untouched buckets, or misses a victim's rows, hash-mismatches).
+    * The bucket dim is generated so an all-victim bucket would still surface with
+    * rows_ = 0. */
+  val snapshotTakedown: String =
+    s"""$extractionCtes,
+       |kept AS (
+       |  SELECT CAST(CAST(substr(doc_id, 5) AS BIGINT) % $SnapshotBuckets AS INT) AS bucket,
+       |         error
+       |  FROM extracted
+       |  WHERE CAST(substr(doc_id, 5) AS BIGINT) % $TakedownMod <> $TakedownRes
+       |),
+       |vict AS (
+       |  SELECT DISTINCT CAST(doc_id % $SnapshotBuckets AS INT) AS bucket
+       |  FROM documents WHERE doc_id % $TakedownMod = $TakedownRes
+       |)
+       |SELECT CAST(d.b AS INT) AS bucket,
+       |       CAST(coalesce(count(k.bucket), 0) AS BIGINT) AS rows_,
+       |       CAST(coalesce(sum(CASE WHEN k.error IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_err,
+       |       CAST(CASE WHEN d.b IN (SELECT bucket FROM vict) THEN 1 ELSE 0 END AS INT) AS rewritten
+       |FROM UNNEST(generate_series(0, $SnapshotBuckets - 1)) AS d(b)
+       |LEFT JOIN kept k ON k.bucket = d.b
+       |GROUP BY d.b ORDER BY bucket""".stripMargin
+
   /** Number of synthetic stream micro-batches `SparkEntry.snapshotCompact` commits
     * before compacting. The compacted generation index equals this count (batch ids
     * 0..N-1 occupy generations 0..N-1, so the rewrite lands at generation N) —

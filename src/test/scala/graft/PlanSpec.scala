@@ -28,7 +28,7 @@ class PlanSpec extends AnyFunSuite {
   private val planChecked =
     SparkEntry.queries.keys
       .filterNot(Set("snapshot_lineage", "snapshot_resume", "snapshot_compact",
-        "snapshot_timetravel", "snapshot_changes"))
+        "snapshot_timetravel", "snapshot_changes", "snapshot_takedown"))
       .toSeq.sorted
 
   test("no registered query plans a BroadcastNestedLoopJoin or CartesianProduct") {
