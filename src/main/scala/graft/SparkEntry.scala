@@ -341,6 +341,7 @@ object SparkEntry {
       Dedup.simhash(Dedup.withMutants(documents(s, dir)))),
     "simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(Dedup.withMutants(documents(s, dir)))),
+    "dedup_groups" -> ((s, dir) => Dedup.dedupGroups(documents(s, dir))),
     // ---- reference API surface: languages, capabilities, lang-dim join -----------
     "lang_codes" -> ((s, _) => graft.sources.Languages.dim(s)
       .orderBy(col("lang_code"))),
@@ -398,7 +399,9 @@ object SparkEntry {
     "quality_funnel" -> ((s, dir) =>
       graft.operators.Curation.qualityFunnel(documents(s, dir))),
     "corpus_stats" -> ((s, dir) =>
-      graft.operators.Curation.corpusStats(documents(s, dir)))
+      graft.operators.Curation.corpusStats(documents(s, dir))),
+    // ---- training export: sequence packing ------------------------------------------
+    "seq_pack" -> ((s, dir) => graft.operators.Packing.seqPack(documents(s, dir)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -424,6 +427,7 @@ object SparkEntry {
     "neardup_pairs" -> OracleSqlDedup.neardupPairs,
     "simhash" -> OracleSqlDedup.simhash,
     "simhash_pairs" -> OracleSqlDedup.simhashPairs,
+    "dedup_groups" -> OracleSqlDedup.dedupGroups,
     "lang_codes" -> OracleSqlRef.langCodes,
     "capabilities" -> OracleSqlRef.capabilities,
     "lang_join" -> OracleSqlRef.langJoin,
@@ -448,6 +452,7 @@ object SparkEntry {
     "sample_stratified" -> graft.functions.OracleSqlCuration.sampleStratified,
     "quality_filter" -> graft.functions.OracleSqlCuration.qualityFilter,
     "quality_funnel" -> graft.functions.OracleSqlCuration.qualityFunnel,
-    "corpus_stats" -> graft.functions.OracleSqlCuration.corpusStats
+    "corpus_stats" -> graft.functions.OracleSqlCuration.corpusStats,
+    "seq_pack" -> graft.functions.OracleSqlCuration.seqPack
   )
 }

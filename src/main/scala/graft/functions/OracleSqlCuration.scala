@@ -85,4 +85,28 @@ object OracleSqlCuration {
        |FROM dim LEFT JOIN c ON dim.stage = c.stage, n
        |ORDER BY stage_idx""".stripMargin
   }
+
+  /** Mirror of Packing.seqPack: exclusive prefix sum of token counts in doc_id
+    * order, then integer window arithmetic at [[graft.operators.Packing.Capacity]]
+    * tokens (DuckDB `//` = Spark `DIV`; both sides stay in BIGINT — no double
+    * division anywhere). The oracle's single ORDER BY window is the semantic spec;
+    * the Spark side reaches the same sum with the two-level bucket scan. */
+  val seqPack: String = {
+    val cap = graft.operators.Packing.Capacity
+    s"""WITH tk AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |),
+       |cum AS (
+       |  SELECT doc_id, n_tokens,
+       |         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM tk
+       |)
+       |SELECT doc_id, n_tokens,
+       |       CAST(cum_before // $cap AS BIGINT) AS start_window,
+       |       CAST((cum_before + n_tokens - 1) // $cap AS BIGINT) AS end_window,
+       |       CAST(cum_before % $cap AS BIGINT) AS start_offset
+       |FROM cum ORDER BY doc_id""".stripMargin
+  }
 }

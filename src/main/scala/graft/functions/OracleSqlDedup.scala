@@ -91,12 +91,29 @@ object OracleSqlDedup {
       |SELECT doc_id, list_aggregate(sh, 'min') AS fp, CAST(len(sh) AS BIGINT) AS n_shingles
       |FROM shq ORDER BY doc_id""".stripMargin
 
-  /** Shared minhash CTE chain over the mutant corpus (3-gram shingles, 8 perms). */
-  private val minhashCtes: String = {
+  /** documents + exact copies + mutants of BOTH (every 10th id in the widened set) —
+    * mirror of Dedup.withGroupCorpus = withMutants(withExactCopies(documents)).
+    * A copy id d+200000 is divisible by 10 iff d is, so its mutant lands at
+    * d+300000 exactly when d % 130 == 0. */
+  private val groupCorpusCte =
+    """gcorpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 13 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, 'mutant ' || text AS text
+      |  FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 300000 AS doc_id, 'mutant ' || text AS text
+      |  FROM documents WHERE doc_id % 13 = 0 AND doc_id % 10 = 0
+      |)""".stripMargin
+
+  /** Minhash CTE chain (3-gram shingles, 8 perms, 4 bands) over the named corpus
+    * CTE. The chain ends at `bands`; `shq` stays visible for the verify stage. */
+  private def minhashChainOver(corpus: String): String = {
     val sigs = (0 until 8).map(p =>
       s"list_aggregate(list_transform(sh, s -> md5('$p|' || s)), 'min') AS mh$p").mkString(",\n         ")
-    s"""WITH $mutantCorpusCte,
-       |tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM mcorpus),
+    s"""tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM $corpus),
        |shq AS (
        |  SELECT doc_id,
        |         list_transform(generate_series(0, greatest(0, len(t) - 3)), i -> array_to_string(t[i+1:i+3], ' ')) AS sh
@@ -114,6 +131,71 @@ object OracleSqlDedup {
        |  FROM sig, UNNEST([0, 1, 2, 3]) AS b(band)
        |)""".stripMargin
   }
+
+  /** The standing mutant-corpus instance of the minhash chain. */
+  private val minhashCtes: String =
+    s"""WITH $mutantCorpusCte,
+       |${minhashChainOver("mcorpus")}""".stripMargin
+
+  /** LSH candidate + exact-Jaccard verify chain over whatever corpus `bands`/`shq`
+    * were built on; ends at `near_pairs` (doc_a, doc_b with jaccard >= 0.5). */
+  private val nearPairsChain: String =
+    """cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+      |),
+      |shd AS (SELECT doc_id, unnest(list_distinct(sh)) AS s FROM shq),
+      |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shd GROUP BY doc_id),
+      |inter AS (
+      |  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS ni
+      |  FROM cand c
+      |  JOIN shd sa ON sa.doc_id = c.doc_a
+      |  JOIN shd sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+      |  GROUP BY c.doc_a, c.doc_b
+      |),
+      |near_pairs AS (
+      |  SELECT i.doc_a, i.doc_b
+      |  FROM inter i
+      |  JOIN sizes na ON na.doc_id = i.doc_a
+      |  JOIN sizes nb ON nb.doc_id = i.doc_b
+      |  WHERE CAST(floor(1000000.0 * i.ni / (na.n + nb.n - i.ni)) AS BIGINT) >= 500000
+      |)""".stripMargin
+
+  /** Mirror of Dedup.dedupGroups: exact star edges UNION verified near-dup pairs
+    * over the group corpus, then component reps via a recursive reachability
+    * closure (edges are symmetric, so min-reachable-vertex = component min — the
+    * same rep Dedup.connectedComponents converges to). Only non-trivial groups
+    * (size >= 2) are emitted. */
+  val dedupGroups: String =
+    s"""WITH RECURSIVE $groupCorpusCte,
+       |${minhashChainOver("gcorpus")},
+       |$nearPairsChain,
+       |eh AS (SELECT doc_id, md5(text) AS h FROM gcorpus),
+       |exact_e AS (
+       |  SELECT m.h_min AS doc_a, e.doc_id AS doc_b
+       |  FROM eh e JOIN (SELECT h, min(doc_id) AS h_min FROM eh GROUP BY h) m ON m.h = e.h
+       |  WHERE e.doc_id <> m.h_min
+       |),
+       |alle AS (
+       |  SELECT doc_a, doc_b FROM exact_e UNION SELECT doc_a, doc_b FROM near_pairs
+       |),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM alle
+       |  UNION SELECT doc_b AS src, doc_a AS dst FROM alle
+       |),
+       |reach AS (
+       |  SELECT doc_id AS v, doc_id AS r FROM gcorpus
+       |  UNION
+       |  SELECT e.dst AS v, reach.r FROM reach JOIN edges e ON e.src = reach.v
+       |),
+       |comp AS (SELECT v AS doc_id, min(r) AS rep_id FROM reach GROUP BY v),
+       |gs AS (SELECT rep_id, CAST(count(*) AS BIGINT) AS group_size FROM comp GROUP BY rep_id)
+       |SELECT c.doc_id, c.rep_id, g.group_size,
+       |       CAST(CASE WHEN c.doc_id = c.rep_id THEN 1 ELSE 0 END AS INT) AS is_canonical
+       |FROM comp c JOIN gs g ON g.rep_id = c.rep_id
+       |WHERE g.group_size >= 2
+       |ORDER BY doc_id""".stripMargin
 
   val minhashBands: String =
     s"""$minhashCtes

@@ -194,6 +194,106 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Max pointer-doubling rounds for [[connectedComponents]]: convergence takes
+    * O(log2 diameter) rounds, so 40 covers any graph a 64-bit id space can hold;
+    * hitting the limit throws rather than silently returning partial components. */
+  val CcMaxIter = 40
+
+  /**
+   * Connected components over an undirected edge list — the step that turns near-dup
+   * PAIRS into actionable dedup GROUPS (pick one canonical doc per component, drop
+   * the rest). Returns (v, rep) where `rep` is the component's minimum vertex id.
+   *
+   * Algorithm: min-label propagation fused with POINTER DOUBLING — each round every
+   * vertex takes the min rep over itself and its neighbors, then short-circuits
+   * rep <- rep(rep). Doubling halves the remaining pointer-chain depth each round,
+   * so a path graph of length L converges in O(log2 L) rounds instead of the O(L)
+   * of plain propagation (CcSpec asserts this on an injected 64-hop chain) — at
+   * 10^9 docs even an adversarial duplication chain finishes in ~30 rounds.
+   *
+   * Scale shape per round: one shuffle keyed on `v` (the propagate join and the min
+   * aggregation share it — exchange reuse) plus one join keyed on `rep`. The edge
+   * list is materialized ONCE and re-read every round; per-round label tables are
+   * localCheckpoint'd to truncate lineage (without it the plan doubles per round).
+   * Labels are TRANSIENT iteration state — an executor loss recomputes from the
+   * last materialized table, and a production run over 10^9+ vertices would point
+   * `sparkContext.setCheckpointDir` at durable storage and swap these for reliable
+   * checkpoints; the committed INPUTS (signature/pair tables) already live under
+   * the snapshot protocol. Convergence is detected with a limit(1) existence probe,
+   * not a full count.
+   */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame,
+      maxIter: Int = CcMaxIter): DataFrame = {
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .localCheckpoint(eager = true) // re-read every round
+    var lbl = vertices.select(col("doc_id").as("v"), col("doc_id").as("rep"))
+      .localCheckpoint(eager = true)
+    var round = 0
+    while (round < maxIter) {
+      // propagate: rep(v) <- min(rep(v), min over neighbors u of rep(u)); the
+      // neighbor min folds in via left join + least rather than a self-union of
+      // lbl (a union whose branches share lineage trips Catalyst's Union
+      // constraint rewrite on constraint-bearing inputs, e.g. spark.range)
+      val neighborMin = sym.join(lbl, sym("src") === lbl("v"))
+        .groupBy(col("dst").as("nv")).agg(min(col("rep")).as("nrep"))
+      val minRep = lbl.join(neighborMin, col("v") === col("nv"), "left")
+        .select(col("v"), least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+      // double: rep(v) <- rep(rep(v)); every rep is itself a vertex, so inner join
+      val next = minRep.as("a")
+        .join(minRep.as("b"), col("a.rep") === col("b.v"))
+        .select(col("a.v").as("v"), col("b.rep").as("rep"))
+        .localCheckpoint(eager = true)
+      val changed = next.as("n").join(lbl.as("o"), col("n.v") === col("o.v"))
+        .filter(col("n.rep") =!= col("o.rep")).limit(1).count() > 0
+      lbl = next
+      round += 1
+      if (!changed) return lbl
+    }
+    throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds")
+  }
+
+  /** Corpus for [[dedupGroups]]: exact copies AND mutants composed, so components
+    * span BOTH edge types ({d, d+200000} exact, {d, d+100000} near-dup, and for
+    * d % 130 == 0 the 4-member component {d, d+100000, d+200000, d+300000} whose
+    * closure needs genuine multi-hop propagation). */
+  def withGroupCorpus(documents: DataFrame): DataFrame =
+    withMutants(withExactCopies(documents))
+
+  /** Exact-duplicate STAR edges: (hash-group min, member) for every non-canonical
+    * member — |group|-1 edges per group instead of the |group|²/2 clique, which is
+    * what keeps a 10^6-copy boilerplate family linear here (the near-dup side is
+    * protected by the LSH occupancy cap instead). */
+  def exactEdges(docsWithCopies: DataFrame): DataFrame = {
+    val h = docsWithCopies.select(col("doc_id"), md5(col("text")).as("h"))
+    h.withColumn("rep", min(col("doc_id")).over(Window.partitionBy(col("h"))))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+  }
+
+  /**
+   * Dedup GROUPS: connected components over the union of exact-duplicate star edges
+   * and verified near-dup pairs (jaccard >= 0.5), emitting every document that
+   * belongs to a non-trivial group as (doc_id, rep_id, group_size, is_canonical).
+   * A curation pass keeps `is_canonical = 1` and drops the rest — pairs alone are
+   * not actionable (transitive families must be deduplicated ONCE, not per-pair).
+   */
+  def dedupGroups(documents: DataFrame): DataFrame = {
+    val corpus = withGroupCorpus(documents).localCheckpoint(eager = false)
+    val edges = exactEdges(corpus).select(col("doc_a"), col("doc_b"))
+      .unionByName(neardupPairs(corpus).select(col("doc_a"), col("doc_b")))
+      .distinct()
+    val comp = connectedComponents(corpus.select(col("doc_id")), edges)
+    val sizes = comp.groupBy(col("rep")).agg(count(lit(1)).as("group_size"))
+    comp.join(sizes, Seq("rep"))
+      .filter(col("group_size") >= 2)
+      .select(col("v").as("doc_id"), col("rep").as("rep_id"), col("group_size"),
+        when(col("v") === col("rep"), 1).otherwise(0).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
   /** 64-bit SimHash per document via the codegen'd [[graft.functions.SimHash64]]
     * Catalyst expression (no UDF, no shuffle). 64 bits, not 32: a 32-bit signature
     * birthday-collides far below 10^9 docs (VERDICT r1). */

@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Connected components / dedup groups. The algorithm claim under test is the
+ * POINTER-DOUBLING bound: a path graph of length L converges in O(log2 L) rounds,
+ * not O(L) — the difference between ~30 rounds and an unrunnable job on an
+ * adversarial duplication chain at 10^9 docs. The semantic claim is differential:
+ * dedupGroups must equal a driver-side transitive closure of exactly the edges the
+ * distributed run derives.
+ */
+class CcSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val documents = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("64-hop chain converges within the pointer-doubling round budget") {
+    import spark.implicits._
+    val vertices = spark.range(0, 65).select(col("id").as("doc_id"))
+    val edges = spark.range(0, 64)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    // plain min-propagation needs 64 rounds on this graph; doubling must land far
+    // under that (log2(64) = 6, plus slack for the propagate/double interleave)
+    val got = Dedup.connectedComponents(vertices, edges, maxIter = 12)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size === 65)
+    assert(got.values.forall(_ == 0L), "single component rooted at min vertex 0")
+  }
+
+  test("two components + a singleton resolve to their own minima") {
+    import spark.implicits._
+    val vertices = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("doc_id")
+    val edges = Seq((2L, 1L), (3L, 2L), (11L, 10L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(vertices, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      99L -> 99L))
+  }
+
+  test("dedupGroups == driver-side transitive closure of the derived edges") {
+    import spark.implicits._
+    val corpus = Dedup.withGroupCorpus(documents)
+    val edges = (Dedup.exactEdges(corpus).as[(Long, Long)].collect() ++
+      Dedup.neardupPairs(corpus).select(col("doc_a"), col("doc_b"))
+        .as[(Long, Long)].collect()).toSeq
+
+    // reference closure: union-find over the same edge list
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = parent.keys.toSeq.map(v => v -> find(v))
+    val byRep = members.groupBy(_._2)
+    val expected = byRep.values.filter(_.size >= 2).flatten
+      .map { case (v, r) => v -> (r, byRep(r).size.toLong) }.toMap
+
+    val got = Dedup.dedupGroups(documents)
+      .select(col("doc_id"), col("rep_id"), col("group_size"), col("is_canonical"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (v, (rep, size, canon)) =>
+      assert((rep, size) === expected(v), s"doc $v")
+      assert(canon === (if (v == rep) 1 else 0), s"doc $v canonical flag")
+    }
+    // the composed corpus must actually produce multi-hop (size-4) families
+    assert(got.values.exists(_._2 >= 4L), "expected a 4-member exact+mutant family")
+  }
+}
