@@ -92,6 +92,11 @@ object SparkEntry {
   private def sigDirFor(dir: String): String =
     derivedDir(dir, "sig", Dedup.SigFormatVersion)
 
+  /** Signature table of the BASE corpus only (no mutants) — what
+    * `neardup_incremental`'s delta dedups against. */
+  private def sigBaseDirFor(dir: String): String =
+    derivedDir(dir, "sigbase", Dedup.SigFormatVersion)
+
   private def tfDirFor(dir: String): String =
     derivedDir(dir, "tf", TextAnalysis.TfFormatVersion)
 
@@ -342,6 +347,8 @@ object SparkEntry {
     "simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(Dedup.withMutants(documents(s, dir)))),
     "dedup_groups" -> ((s, dir) => Dedup.dedupGroups(documents(s, dir))),
+    "neardup_incremental" -> ((s, dir) => Dedup.neardupIncremental(
+      documents(s, dir), Dedup.mutantsOnly(documents(s, dir)), sigBaseDirFor(dir))),
     // ---- reference API surface: languages, capabilities, lang-dim join -----------
     "lang_codes" -> ((s, _) => graft.sources.Languages.dim(s)
       .orderBy(col("lang_code"))),
@@ -428,6 +435,7 @@ object SparkEntry {
     "simhash" -> OracleSqlDedup.simhash,
     "simhash_pairs" -> OracleSqlDedup.simhashPairs,
     "dedup_groups" -> OracleSqlDedup.dedupGroups,
+    "neardup_incremental" -> OracleSqlDedup.neardupIncremental,
     "lang_codes" -> OracleSqlRef.langCodes,
     "capabilities" -> OracleSqlRef.capabilities,
     "lang_join" -> OracleSqlRef.langJoin,

@@ -225,6 +225,18 @@ object OracleSqlDedup {
        |WHERE CAST(floor(1000000.0 * i.ni / (na.n + nb.n - i.ni)) AS BIGINT) >= 500000
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Mirror of Dedup.neardupIncremental over (documents, mutants delta): the
+    * incremental contract is "exactly the full-corpus pair set restricted to pairs
+    * touching a new document", and since every delta id is >= 100000 while corpus
+    * ids are below it, the restriction is doc_b >= 100000 (doc_a < doc_b). The
+    * Spark side takes a completely different route (committed signature read + delta
+    * bands + new-side semi-join); agreeing with THIS query is what proves the
+    * incremental path loses/invents nothing. */
+  lazy val neardupIncremental: String =
+    s"""SELECT doc_a, doc_b, jaccard_e6 FROM (
+       |$neardupPairs
+       |) WHERE doc_b >= 100000 ORDER BY doc_a, doc_b""".stripMargin
+
   /** 64 per-bit weight sums + recombination — mirror of SimHashImpl.simhash64.
     * Bit k = bit (3 - k%4) of hex digit k/4 of md5(token); recombination goes through
     * HUGEINT (`utotal`, the unsigned value) because bit 63 overflows a signed BIGINT

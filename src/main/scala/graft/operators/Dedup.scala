@@ -71,10 +71,7 @@ object Dedup {
   /** documents + near-duplicate mutants of every 10th doc (id + 100000,
     * 'mutant ' prefixed text). */
   def withMutants(documents: DataFrame): DataFrame =
-    documents.select(col("doc_id"), col("text")).unionByName(
-      documents.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"),
-          concat(lit("mutant "), col("text")).as("text")))
+    documents.select(col("doc_id"), col("text")).unionByName(mutantsOnly(documents))
 
   /** Exact dedup: md5 content hash, rank within hash group (rank 1 = canonical). */
   def exact(docsWithCopies: DataFrame): DataFrame = {
@@ -168,6 +165,50 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    verifyPairs(cand, docs)
+  }
+
+  /** The mutant delta on its own — the "new crawl batch" for
+    * [[neardupIncremental]] (withMutants = documents ∪ mutantsOnly). */
+  def mutantsOnly(documents: DataFrame): DataFrame =
+    documents.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(lit("mutant "), col("text")).as("text"))
+
+  /**
+   * INCREMENTAL near-dup: a delta of new documents dedups against an already-
+   * committed corpus by READING its signature table ([[committedBands]] resumes —
+   * verified buckets come back as parquet, nothing is re-shingled) and computing
+   * signatures only for the delta. Candidates are (new x all) band-bucket matches —
+   * new-new pairs included — so the result is exactly the full-corpus pair set
+   * restricted to pairs touching a new document, at O(delta + candidates) cost
+   * instead of O(corpus). This is the daily-crawl shape at 100 TB: the corpus-side
+   * work is one manifest read + a bucket-pruned parquet scan of signatures (a few
+   * percent of corpus bytes), never a re-hash.
+   */
+  def neardupIncremental(oldDocs: DataFrame, newDocs: DataFrame,
+      sigDir: String): DataFrame = {
+    val newBands = minhashBands(newDocs)
+      .localCheckpoint(eager = false) // read twice: union + new-side semi-join
+    val all = committedBands(oldDocs, sigDir).unionByName(newBands)
+    // the cap is evaluated over the UNION — identical occupancy to a full-corpus
+    // run, so incremental and batch results can never diverge on capped buckets
+    val bands = dropOversized(all, Seq("band", "band_hash"))
+    val newSide = bands.join(newDocs.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val cand = newSide.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
+          && col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+    verifyPairs(cand, oldDocs.select(col("doc_id"), col("text"))
+      .unionByName(newDocs.select(col("doc_id"), col("text"))))
+  }
+
+  /** Exact-Jaccard verification of a candidate pair stream: candidate-restricted
+    * shingle join (cost scales with |candidates|, not corpus), keep jaccard >= 0.5. */
+  private def verifyPairs(cand0: DataFrame, docs: DataFrame): DataFrame = {
+    val cand = cand0
       .distinct()
       .localCheckpoint(eager = false) // tiny (candidate pairs only); read 3x below
 
