@@ -21,7 +21,16 @@ object Bench {
     // best-of-2 per query: the shared hypervisor's load is ±40% minute-to-minute
     // noise (BENCH/BASELINE.md calibration); a single sample per query makes
     // round-over-round comparisons see phantom regressions
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts to named queries and skips the
+    // flagship block — the paired micro-bench knob (time a rework against its
+    // pre-change sample in one calm window instead of re-running the suite)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val secs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -32,6 +41,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+
+    if (only.isDefined) {
+      println(s"""{"metric":"only","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""sf":"$sfDir","cpus":$cpus}""")
+      spark.stop()
+      return
+    }
 
     // flagship throughput: full extraction over the materialized corpus table
     // (warmup run pays JIT + table materialization; timed run measures the engine)

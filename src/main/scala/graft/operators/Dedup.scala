@@ -280,15 +280,19 @@ object Dedup {
       val neighborMin = sym.join(lbl, sym("src") === lbl("v"))
         .groupBy(col("dst").as("nv")).agg(min(col("rep")).as("nrep"))
       val minRep = lbl.join(neighborMin, col("v") === col("nv"), "left")
-        .select(col("v"), least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
-      // double: rep(v) <- rep(rep(v)); every rep is itself a vertex, so inner join
+        .select(col("v"), col("rep").as("orep"),
+          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+      // double: rep(v) <- rep(rep(v)); every rep is itself a vertex, so inner
+      // join. The round's change flag rides along (rep != round-start rep), so
+      // convergence detection is a shuffle-free scan of the checkpointed result
+      // instead of a join back against the previous labels.
       val next = minRep.as("a")
         .join(minRep.as("b"), col("a.rep") === col("b.v"))
-        .select(col("a.v").as("v"), col("b.rep").as("rep"))
+        .select(col("a.v").as("v"), col("b.rep").as("rep"),
+          (col("b.rep") =!= col("a.orep")).as("chg"))
         .localCheckpoint(eager = true)
-      val changed = next.as("n").join(lbl.as("o"), col("n.v") === col("o.v"))
-        .filter(col("n.rep") =!= col("o.rep")).limit(1).count() > 0
-      lbl = next
+      val changed = next.filter(col("chg")).limit(1).count() > 0
+      lbl = next.select(col("v"), col("rep"))
       round += 1
       if (!changed) return lbl
     }
@@ -326,7 +330,14 @@ object Dedup {
     val edges = exactEdges(corpus).select(col("doc_a"), col("doc_b"))
       .unionByName(neardupPairs(corpus).select(col("doc_a"), col("doc_b")))
       .distinct()
-    val comp = connectedComponents(corpus.select(col("doc_id")), edges)
+      .localCheckpoint(eager = false) // endpoints + CC both read it
+    // label table over edge ENDPOINTS only, not the corpus: a doc in no edge is a
+    // singleton and can never reach the group_size >= 2 output — at 10^9 docs with
+    // a ~1% dup rate this keeps every CC round O(dups), not O(corpus)
+    val touched = edges.select(col("doc_a").as("doc_id"))
+      .unionByName(edges.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val comp = connectedComponents(touched, edges)
     val sizes = comp.groupBy(col("rep")).agg(count(lit(1)).as("group_size"))
     comp.join(sizes, Seq("rep"))
       .filter(col("group_size") >= 2)
