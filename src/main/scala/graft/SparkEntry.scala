@@ -407,6 +407,10 @@ object SparkEntry {
       graft.operators.Curation.qualityFunnel(documents(s, dir))),
     "corpus_stats" -> ((s, dir) =>
       graft.operators.Curation.corpusStats(documents(s, dir))),
+    "mix_budget" -> ((s, dir) =>
+      graft.operators.Curation.tokenBudgetMix(documents(s, dir))),
+    "mix_budget_stats" -> ((s, dir) =>
+      graft.operators.Curation.tokenBudgetStats(documents(s, dir))),
     // ---- training export: sequence packing ------------------------------------------
     "seq_pack" -> ((s, dir) => graft.operators.Packing.seqPack(documents(s, dir)))
   )
@@ -461,6 +465,8 @@ object SparkEntry {
     "quality_filter" -> graft.functions.OracleSqlCuration.qualityFilter,
     "quality_funnel" -> graft.functions.OracleSqlCuration.qualityFunnel,
     "corpus_stats" -> graft.functions.OracleSqlCuration.corpusStats,
+    "mix_budget" -> graft.functions.OracleSqlCuration.tokenBudgetMix,
+    "mix_budget_stats" -> graft.functions.OracleSqlCuration.tokenBudgetStats,
     "seq_pack" -> graft.functions.OracleSqlCuration.seqPack
   )
 }

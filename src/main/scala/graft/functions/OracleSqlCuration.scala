@@ -86,6 +86,64 @@ object OracleSqlCuration {
        |ORDER BY stage_idx""".stripMargin
   }
 
+  /** Shared CTE chain for the token-budget mix: measured per-lang token totals ->
+    * budget arithmetic -> hex thresholds -> deterministic membership. Every numeric
+    * step mirrors Curation.budgetTable's single IEEE double ops (shares are CAST to
+    * DOUBLE — DuckDB would otherwise parse 0.35 as DECIMAL and change the rounding);
+    * printf('%08x', ...) emits the same lowercase zero-padded threshold the Scala
+    * thresholdHex produces. thrhex IS NULL encodes keep-all (lang under budget). */
+  private def budgetCtes: String = {
+    val shares = Curation.BudgetShares
+      .map { case (l, s) => s"('$l', CAST($s AS DOUBLE))" }.mkString(", ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents
+       |),
+       |tot AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS t FROM tk GROUP BY lang),
+       |bt AS (SELECT CAST(floor(${Curation.BudgetFrac} * sum(t)) AS BIGINT) AS budget_total FROM tot),
+       |shares(lang, share) AS (SELECT * FROM (VALUES $shares)),
+       |thr AS (
+       |  SELECT tot.lang, tot.t,
+       |         CAST(floor(bt.budget_total * coalesce(s.share, CAST(0.0 AS DOUBLE))) AS BIGINT) AS b,
+       |         CASE WHEN tot.t <= CAST(floor(bt.budget_total * coalesce(s.share, CAST(0.0 AS DOUBLE))) AS BIGINT)
+       |              THEN NULL
+       |              ELSE printf('%08x', CAST(floor((CAST(CAST(floor(bt.budget_total * coalesce(s.share, CAST(0.0 AS DOUBLE))) AS BIGINT) AS DOUBLE)
+       |                   / tot.t) * 4294967296.0) AS BIGINT)) END AS thrhex
+       |  FROM tot LEFT JOIN shares s ON s.lang = tot.lang, bt
+       |),
+       |keyd AS (
+       |  SELECT doc_id, lang, n_tok,
+       |         substr(md5('${Curation.BudgetSalt}:' || CAST(doc_id AS VARCHAR)), 1, 8) AS sample_key
+       |  FROM tk
+       |),
+       |kept AS (
+       |  SELECT k.doc_id, k.lang, k.n_tok, k.sample_key
+       |  FROM keyd k JOIN thr ON thr.lang = k.lang
+       |  WHERE thr.b > 0 AND (thr.thrhex IS NULL OR k.sample_key < thr.thrhex)
+       |)""".stripMargin
+  }
+
+  /** Mirror of Curation.tokenBudgetMix: exact deterministic membership. */
+  val tokenBudgetMix: String =
+    s"""$budgetCtes
+       |SELECT doc_id, lang, n_tok, sample_key FROM kept ORDER BY doc_id""".stripMargin
+
+  /** Mirror of Curation.tokenBudgetStats: realized-vs-target mixing report. */
+  val tokenBudgetStats: String =
+    s"""$budgetCtes,
+       |ka AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+       |         CAST(sum(n_tok) AS BIGINT) AS kept_tokens
+       |  FROM kept GROUP BY lang
+       |)
+       |SELECT thr.lang, thr.t AS tokens_total, thr.b AS budget_tokens,
+       |       CAST(CASE WHEN thr.t <= thr.b THEN 1000000
+       |            ELSE floor(1000000.0 * thr.b / thr.t) END AS BIGINT) AS rate_e6,
+       |       coalesce(ka.n_kept, 0) AS n_kept,
+       |       coalesce(ka.kept_tokens, 0) AS kept_tokens
+       |FROM thr LEFT JOIN ka ON ka.lang = thr.lang
+       |ORDER BY thr.lang""".stripMargin
+
   /** Mirror of Packing.seqPack: exclusive prefix sum of token counts in doc_id
     * order, then integer window arithmetic at [[graft.operators.Packing.Capacity]]
     * tokens (DuckDB `//` = Spark `DIV`; both sides stay in BIGINT — no double

@@ -100,6 +100,97 @@ object Curation {
       .orderBy(col("lang"), col("source"))
   }
 
+  // ---- token-budget mixture ------------------------------------------------------
+
+  /** Salt for the budget-mix draw — independent of [[MixSalt]], so budget mixes and
+    * stratified samples never correlate membership. */
+  val BudgetSalt = "graft-budget-v1"
+
+  /** Target budget as a fraction of the corpus's measured token total. */
+  val BudgetFrac = 0.5
+
+  /** Target token SHARES of the budget per lang (a mixing recipe — e.g. DoReMi-style
+    * static weights). Langs absent here get share 0 = excluded. Seq, not Map: the
+    * when-chain and the oracle CASE must enumerate in one order. */
+  val BudgetShares: Seq[(String, Double)] = Seq(
+    "en" -> 0.35, // downweighted vs its natural ~40-50% share
+    "de" -> 0.25, // upweighted
+    "es" -> 0.20,
+    "fr" -> 0.15,
+    "zh" -> 0.05)
+
+  private def budgetKey(docId: Column): Column =
+    substring(md5(concat_ws(":", lit(BudgetSalt), docId.cast("string"))), 1, 8)
+
+  /** Per-lang (tokens_total, budget_tokens, keep-all?) derived from measured totals:
+    * budget_total = floor(BudgetFrac * T), budget_lang = floor(budget_total * share).
+    * Every arithmetic step is a single IEEE double op over exact BIGINTs (< 2^53),
+    * so the DuckDB oracle reproduces the thresholds bit-exactly. */
+  private def budgetTable(documents: DataFrame): Seq[(String, Long, Long)] = {
+    val totals = documents
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy(col("lang")).agg(sum(col("n_tok")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budgetTotal = math.floor(BudgetFrac * totals.values.sum).toLong
+    val shares = BudgetShares.toMap
+    totals.toSeq.sortBy(_._1).map { case (lang, t) =>
+      (lang, t, math.floor(budgetTotal * shares.getOrElse(lang, 0.0)).toLong)
+    }
+  }
+
+  /**
+   * CLOSED-LOOP dataset mixing: sample each lang at the rate that hits a target
+   * per-lang TOKEN budget, with the rates DERIVED from the corpus's measured token
+   * totals rather than hand-tuned ([[sampleStratified]] is the open-loop form). A
+   * lang whose natural tokens fall under its budget is kept whole; one over budget
+   * is hash-downsampled at rate budget/total. Membership is deterministic
+   * (md5-threshold, [[BudgetSalt]]) — re-runs are byte-identical, and the oracle
+   * predicts exact membership because threshold derivation is bit-exact double
+   * arithmetic on both engines.
+   *
+   * Scale: one map-side-partial agg over |langs| keys (the totals), a bounded
+   * driver fold, then a shuffle-free codegen'd filter — the same composes-with-
+   * partition-pruning shape as [[sampleStratified]].
+   */
+  def tokenBudgetMix(documents: DataFrame): DataFrame = {
+    val key = budgetKey(col("doc_id"))
+    val keep = budgetTable(documents).foldRight(lit(false): Column) {
+      case ((lang, t, b), acc) =>
+        val kept =
+          if (t <= b) lit(true)
+          else if (b == 0L) lit(false)
+          else key < lit(thresholdHex(b.toDouble / t.toDouble))
+        when(col("lang") === lang, kept).otherwise(acc)
+    }
+    documents
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        key.as("sample_key"))
+      .filter(keep)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The mixing report beside [[tokenBudgetMix]]: per lang — measured tokens, token
+    * budget, derived keep rate (e6-quantized), kept docs and kept tokens. Kept
+    * counts are binomial around the target (exactness note on [[sampleStratified]]
+    * applies); the report is how a pipeline audits realized-vs-target mix. */
+  def tokenBudgetStats(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val dim = budgetTable(documents).toDF("lang", "tokens_total", "budget_tokens")
+    val kept = tokenBudgetMix(documents)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("kept_tokens"))
+    dim.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("tokens_total"), col("budget_tokens"),
+        when(col("tokens_total") <= col("budget_tokens"), 1000000L)
+          .otherwise(floor(lit(1000000.0) * col("budget_tokens") / col("tokens_total"))
+            .cast("long")).as("rate_e6"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+      .orderBy(col("lang"))
+  }
+
   // ---- quality funnel -----------------------------------------------------------
 
   /** Funnel thresholds (applied to the exact-integer metrics of

@@ -122,4 +122,44 @@ class CurationSpec extends AnyFunSuite {
     assert(counts.filterNot(_._1 == "pass").values.sum > 0,
       "thresholds reject nothing — the funnel is vacuous")
   }
+
+  test("token-budget mix: deterministic, budget-respecting, stats reconcile") {
+    val mix1 = Curation.tokenBudgetMix(docs).collect()
+    val mix2 = Curation.tokenBudgetMix(docs).collect()
+    assert(mix1.map(_.toString).toSeq === mix2.map(_.toString).toSeq,
+      "membership must be byte-identical across runs")
+
+    val stats = Curation.tokenBudgetStats(docs).collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toMap
+    // every corpus lang appears in the report
+    val langs = docs.select(col("lang")).distinct().as[String].collect().toSet
+    assert(stats.keySet === langs)
+
+    stats.foreach { case (lang, (total, budget, rateE6, nKept, keptTokens)) =>
+      if (total <= budget) {
+        // under-budget lang kept whole
+        assert(rateE6 === 1000000L && keptTokens === total, lang)
+      } else if (budget == 0L) {
+        assert(nKept === 0L && keptTokens === 0L, lang)
+      } else {
+        // realized tokens within 4 sigma of the target budget (binomial over docs,
+        // loose token-weighted bound: sigma <= sqrt(n*p(1-p)) * max_doc_tokens)
+        val p = budget.toDouble / total
+        val nDocs = docs.filter(col("lang") === lang).count()
+        val maxTok = docs.filter(col("lang") === lang)
+          .select(max(size(split(col("text"), " ")))).head.getInt(0).toLong
+        val sigma = math.sqrt(nDocs * p * (1 - p)) * maxTok
+        assert(math.abs(keptTokens - budget) <= 4 * sigma + maxTok,
+          s"$lang realized $keptTokens vs budget $budget (4-sigma $sigma)")
+      }
+    }
+    // the mix rows themselves reconcile with the report
+    val byLang = mix1.groupBy(_.getString(1)).view
+      .mapValues(rs => (rs.length.toLong, rs.map(_.getLong(2)).sum)).toMap
+    stats.foreach { case (lang, (_, _, _, nKept, keptTokens)) =>
+      val (n, t) = byLang.getOrElse(lang, (0L, 0L))
+      assert((n, t) === (nKept, keptTokens), lang)
+    }
+  }
 }
