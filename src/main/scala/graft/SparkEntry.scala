@@ -411,8 +411,10 @@ object SparkEntry {
       graft.operators.Curation.tokenBudgetMix(documents(s, dir))),
     "mix_budget_stats" -> ((s, dir) =>
       graft.operators.Curation.tokenBudgetStats(documents(s, dir))),
-    // ---- training export: sequence packing ------------------------------------------
-    "seq_pack" -> ((s, dir) => graft.operators.Packing.seqPack(documents(s, dir)))
+    // ---- training export: sequence packing + the composed pipeline ------------------
+    "seq_pack" -> ((s, dir) => graft.operators.Packing.seqPack(documents(s, dir))),
+    "curate_pipeline" -> ((s, dir) =>
+      graft.operators.Curation.curatePipeline(documents(s, dir)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -467,6 +469,7 @@ object SparkEntry {
     "corpus_stats" -> graft.functions.OracleSqlCuration.corpusStats,
     "mix_budget" -> graft.functions.OracleSqlCuration.tokenBudgetMix,
     "mix_budget_stats" -> graft.functions.OracleSqlCuration.tokenBudgetStats,
-    "seq_pack" -> graft.functions.OracleSqlCuration.seqPack
+    "seq_pack" -> graft.functions.OracleSqlCuration.seqPack,
+    "curate_pipeline" -> graft.functions.OracleSqlCuration.curatePipeline
   )
 }

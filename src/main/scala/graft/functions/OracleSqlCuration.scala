@@ -92,12 +92,16 @@ object OracleSqlCuration {
     * DOUBLE — DuckDB would otherwise parse 0.35 as DECIMAL and change the rounding);
     * printf('%08x', ...) emits the same lowercase zero-padded threshold the Scala
     * thresholdHex produces. thrhex IS NULL encodes keep-all (lang under budget). */
-  private def budgetCtes: String = {
+  private def budgetCtes: String = "WITH " + budgetChain("documents")
+
+  /** The budget chain with a parameterized source (so the composed pipeline can
+    * run it over the funnel's survivors instead of the raw corpus). */
+  private def budgetChain(src: String): String = {
     val shares = Curation.BudgetShares
       .map { case (l, s) => s"('$l', CAST($s AS DOUBLE))" }.mkString(", ")
-    s"""WITH tk AS (
+    s"""tk AS (
        |  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
-       |  FROM documents
+       |  FROM $src
        |),
        |tot AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS t FROM tk GROUP BY lang),
        |bt AS (SELECT CAST(floor(${Curation.BudgetFrac} * sum(t)) AS BIGINT) AS budget_total FROM tot),
@@ -143,6 +147,32 @@ object OracleSqlCuration {
        |       coalesce(ka.kept_tokens, 0) AS kept_tokens
        |FROM thr LEFT JOIN ka ON ka.lang = thr.lang
        |ORDER BY thr.lang""".stripMargin
+
+  /** Mirror of Curation.curatePipeline: funnel-pass -> token-budget mix over the
+    * SURVIVORS (budgets re-derived from the filtered corpus's measured totals) ->
+    * sequence packing of the mixed set. One value hash over the composed pipeline:
+    * a regression in any stage, or in how the stages hand off, mismatches. */
+  val curatePipeline: String = {
+    val cap = graft.operators.Packing.Capacity
+    s"""$stageCtes,
+       |pass AS (
+       |  SELECT d.doc_id, d.lang, d.text
+       |  FROM documents d JOIN v ON v.doc_id = d.doc_id
+       |  WHERE v.stage = '${Curation.FunnelStages.last}'
+       |),
+       |${budgetChain("pass")},
+       |cum AS (
+       |  SELECT doc_id, n_tok AS n_tokens,
+       |         CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM kept
+       |)
+       |SELECT doc_id, n_tokens,
+       |       CAST(cum_before // $cap AS BIGINT) AS start_window,
+       |       CAST((cum_before + n_tokens - 1) // $cap AS BIGINT) AS end_window,
+       |       CAST(cum_before % $cap AS BIGINT) AS start_offset
+       |FROM cum ORDER BY doc_id""".stripMargin
+  }
 
   /** Mirror of Packing.seqPack: exclusive prefix sum of token counts in doc_id
     * order, then integer window arithmetic at [[graft.operators.Packing.Capacity]]

@@ -191,6 +191,30 @@ object Curation {
       .orderBy(col("lang"))
   }
 
+  /**
+   * The COMPOSED curation pipeline under one gate: quality funnel -> token-budget
+   * mix over the SURVIVORS (budgets re-derived from the filtered corpus — the
+   * honest pipeline order; deriving them from the raw corpus would over-allocate
+   * langs whose documents the funnel rejects) -> sequence packing of the mixed
+   * set into training context windows. Every stage is individually gated
+   * elsewhere; this query pins the HAND-OFFS (id semantics, re-derived budgets,
+   * pack ordering) with a single value hash.
+   *
+   * Scale: three shuffle-free filter scans + the two bounded driver folds
+   * (budget table, pack offsets); the only wide ops are the |langs|-key and
+   * per-chunk aggregations. A production run materializes each stage through the
+   * snapshot protocol for lineage (the per-stage operators already support it);
+   * composing lazily here keeps the gate honest about the pure dataflow.
+   */
+  def curatePipeline(documents: DataFrame): DataFrame = {
+    val pass = documents.join(
+      qualityFilter(documents).filter(col("kept") === 1).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val mixed = documents.join(
+      tokenBudgetMix(pass).select(col("doc_id")), Seq("doc_id"), "left_semi")
+    Packing.seqPack(mixed)
+  }
+
   // ---- quality funnel -----------------------------------------------------------
 
   /** Funnel thresholds (applied to the exact-integer metrics of

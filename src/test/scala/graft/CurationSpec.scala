@@ -162,4 +162,24 @@ class CurationSpec extends AnyFunSuite {
       assert((n, t) === (nKept, keptTokens), lang)
     }
   }
+
+  test("curate_pipeline: strict subset, funnel-respecting, contiguous packing") {
+    val out = Curation.curatePipeline(docs).collect()
+    val outIds = out.map(_.getLong(0)).toSet
+    assert(out.nonEmpty && outIds.size < docs.count(), "pipeline must filter")
+    // no funnel-rejected doc can survive the composition
+    val rejected = Curation.qualityFilter(docs).filter(col("kept") === 0)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(outIds.intersect(rejected).isEmpty)
+    // packing over the filtered set is contiguous: windows restart exactly where
+    // the previous doc ended (token positions have no gaps across filtered-out ids)
+    val sorted = out.sortBy(_.getLong(0))
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        val aEnd = a.getLong(2) * graft.operators.Packing.Capacity + a.getLong(4) + a.getLong(1)
+        val bStart = b.getLong(2) * graft.operators.Packing.Capacity + b.getLong(4)
+        assert(bStart === aEnd, s"gap between ${a.getLong(0)} and ${b.getLong(0)}")
+      case _ =>
+    }
+  }
 }
