@@ -382,6 +382,7 @@ object SparkEntry {
     "embed_neardup" -> ((s, dir) =>
       Similarity.embedNeardupAudit(Similarity.withEmbMutants(embeddings(s, dir)))),
     "ivf_topk" -> ((s, dir) => Similarity.ivfTopK(embeddings(s, dir))),
+    "ivf_train" -> ((s, dir) => Similarity.ivfTrain(embeddings(s, dir))),
     // ---- sessionization (events table, window-function family) -------------------
     "sessionize" -> ((s, dir) => graft.operators.Sessions.sessionize(
       s.read.parquet(s"$dir/events.parquet"))),
@@ -453,6 +454,7 @@ object SparkEntry {
     "ann_lsh_pairs" -> OracleSqlSim.annLshPairs,
     "embed_neardup" -> OracleSqlSim.embedNeardup,
     "ivf_topk" -> OracleSqlSim.ivfTopK,
+    "ivf_train" -> OracleSqlSim.ivfTrain,
     "sessionize" -> OracleSqlRef.sessionize,
     "text_quality" -> OracleSqlDedup.textQuality,
     "lang_id" -> OracleSqlDedup.langId,

@@ -129,4 +129,44 @@ object OracleSqlSim {
        |)
        |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS "rank", cos_e6
        |FROM ranked WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+
+  /** Mirror of Similarity.ivfTrain: KmIters unrolled Lloyd rounds in exact
+    * arithmetic — integer squared-L2 assignment with (d2, cell) tie-breaking
+    * (row_number QUALIFY == Spark's min(struct)), floor-of-double per-dim means,
+    * centroid norms recomputed from the floored means. Round CTEs are GENERATED
+    * from the same Similarity constants the Spark loop runs on, so iteration
+    * count and init modulus cannot drift. */
+  val ivfTrain: String = {
+    import graft.operators.Similarity.{KmInitMod, KmIters}
+    def n2Of(cq: String): String =
+      s"CAST(list_sum(list_transform(list_zip($cq, $cq), z -> z[1] * z[2])) AS BIGINT)"
+    val rounds = (1 to KmIters).map { i =>
+      s"""a$i AS (
+         |  SELECT vn.vec_id, vn.q, c.cell,
+         |         vn.n2 + c.cn2 - 2 * ${dot("vn.q", "c.cq")} AS d2
+         |  FROM vn, cn${i - 1} c
+         |),
+         |s$i AS (
+         |  SELECT vec_id, q, cell FROM a$i
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1
+         |),
+         |e$i AS (
+         |  SELECT cell, t.i AS dim, q[t.i + 1] AS val
+         |  FROM s$i, UNNEST(generate_series(0, len(q) - 1)) AS t(i)
+         |),
+         |m$i AS (
+         |  SELECT cell, dim, CAST(floor(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS c
+         |  FROM e$i GROUP BY cell, dim
+         |),
+         |c$i AS (SELECT cell, list(c ORDER BY dim) AS cq FROM m$i GROUP BY cell),
+         |cn$i AS (SELECT cell, cq, ${n2Of("cq")} AS cn2 FROM c$i)""".stripMargin
+    }.mkString(",\n")
+    s"""$rawCtes,
+       |cn0 AS (SELECT vec_id AS cell, q AS cq, n2 AS cn2 FROM vn WHERE vec_id % $KmInitMod = 0),
+       |$rounds,
+       |nm AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_members FROM s$KmIters GROUP BY cell)
+       |SELECT m.cell, m.dim, m.c AS c_q, nm.n_members
+       |FROM m$KmIters m JOIN nm USING (cell)
+       |ORDER BY cell, dim""".stripMargin
+  }
 }

@@ -246,6 +246,74 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** k-means init modulus (initial codebook = vec_id % KmInitMod == 0) and Lloyd
+    * iteration count for [[ivfTrain]]. */
+  val KmInitMod = 100
+  val KmIters = 2
+
+  /**
+   * IVF codebook TRAINING in-engine: [[KmIters]] Lloyd iterations over the
+   * integer-quantized vectors, entirely in EXACT arithmetic — squared-L2 assignment
+   * is integer (n2 + cn2 - 2·dot, ties to the lower cell id), and the centroid
+   * update is floor(sum/count) per dimension (one IEEE double division on exact
+   * BIGINTs) — so training is bit-reproducible and the full trajectory sits under
+   * the DuckDB gate (a k-means that drifts by one ulp anywhere hash-mismatches).
+   *
+   * Scale shape: the codebook is MODEL state — bounded (|corpus|/initMod here; a
+   * fixed K in production), held on the driver between rounds exactly like
+   * [[fanOut]]'s literal dimension, and fanned out inside codegen for assignment
+   * (no join, no scan re-partition). Each round costs one pass: a map-side-partial
+   * min-struct per vector, then a (K·dim)-key sum/count agg. At 10^12 vectors one
+   * trains on a deterministic sample (the same % trick as the audit queries) and
+   * runs only the final ASSIGNMENT over the full corpus; empty cells drop out of
+   * the codebook (mirrored by the oracle). Output: (cell, dim, c_q, n_members)
+   * after the final update.
+   */
+  def ivfTrain(emb: DataFrame, initMod: Int = KmInitMod, iters: Int = KmIters): DataFrame = {
+    require(iters >= 1, "ivfTrain needs at least one Lloyd iteration")
+    val spark = emb.sparkSession
+    val v = quantized(emb).localCheckpoint(eager = false) // scanned once per round
+    var cents: Seq[(Long, Seq[Long], Long)] =
+      v.filter(col("vec_id") % initMod === 0)
+        .select(col("vec_id"), col("q"), col("n2"))
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toList, r.getLong(2)))
+        .sortBy(_._1)
+    require(cents.nonEmpty, s"no initial centroids at vec_id % $initMod == 0")
+    var members: Map[Long, Long] = Map.empty
+
+    for (_ <- 1 to iters) {
+      val assigned = v
+        .select(col("vec_id"), col("q"), col("n2"), explode(typedLit(cents)).as("c"))
+        .withColumn("d2",
+          col("n2") + col("c._3") - lit(2L) * doti(col("q"), col("c._2")))
+        .groupBy(col("vec_id"), col("q"))
+        .agg(min(struct(col("d2").as("d2"), col("c._1").as("cell"))).as("mc"))
+        .select(col("q"), col("mc.cell").as("cell"))
+      // per-(cell, dim) sums -> floor-mean centroids; K*dim rows back to the driver
+      // (bounded model state, the same contract as fanOut's literal dimension)
+      val stats = assigned
+        .select(col("cell"), posexplode(col("q")))
+        .groupBy(col("cell"), col("pos").cast("long").as("dim"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .select(col("cell"), col("dim"),
+          floor(col("s") / col("n")).cast("long").as("c"), col("n"))
+        .collect()
+      members = stats.filter(_.getLong(1) == 0L)
+        .map(r => r.getLong(0) -> r.getLong(3)).toMap
+      cents = stats.groupBy(_.getLong(0)).toSeq.map { case (cell, rows) =>
+        val q = rows.sortBy(_.getLong(1)).map(_.getLong(2)).toList
+        (cell, q, q.map(x => x * x).sum)
+      }.sortBy(_._1)
+    }
+
+    import spark.implicits._
+    cents.flatMap { case (cell, q, _) =>
+      q.zipWithIndex.map { case (c, dim) => (cell, dim.toLong, c, members(cell)) }
+    }.toDF("cell", "dim", "c_q", "n_members")
+      .orderBy(col("cell"), col("dim"))
+  }
+
   /**
    * IVF top-k: cells from a deterministic centroid subset (vec_id % centroidMod == 0),
    * every vector assigned to its nearest cell by EXACT integer squared-L2

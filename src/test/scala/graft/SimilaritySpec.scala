@@ -80,4 +80,30 @@ class SimilaritySpec extends AnyFunSuite {
       assert(cs === cs.sorted.reverse, s"query $q not ranked by cos")
     }
   }
+
+  test("ivf_train: deterministic, training moves centroids, members account for all vectors") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val run1 = Similarity.ivfTrain(emb).collect()
+    val run2 = Similarity.ivfTrain(emb).collect()
+    assert(run1.map(_.toString).toSeq === run2.map(_.toString).toSeq,
+      "bit-reproducible training is the contract")
+
+    val byCell = run1.groupBy(_.getLong(0))
+    // members over surviving cells account for every vector exactly once
+    val totalMembers = byCell.values.map(_.head.getLong(3)).sum
+    assert(totalMembers === emb.count())
+    // dims are complete and ordered per cell
+    val dim = emb.select(org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.col("embedding"))).head.getInt(0)
+    byCell.foreach { case (cell, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq === (0L until dim), s"cell $cell")
+    }
+    // Lloyd actually updates: final centroids differ from the raw init vectors
+    val init = raw.filter(_._1 % Similarity.KmInitMod == 0).toMap
+    val moved = byCell.exists { case (cell, rows) =>
+      init.get(cell).exists(q0 =>
+        rows.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq !== q0.toSeq)
+    }
+    assert(moved, "no centroid moved — the update step is vacuous")
+  }
 }
