@@ -414,6 +414,8 @@ object SparkEntry {
       graft.operators.Curation.tokenBudgetStats(documents(s, dir))),
     // ---- training export: sequence packing + the composed pipeline ------------------
     "seq_pack" -> ((s, dir) => graft.operators.Packing.seqPack(documents(s, dir))),
+    "seq_pack_shuffled" -> ((s, dir) =>
+      graft.operators.Packing.seqPackShuffled(documents(s, dir))),
     "curate_pipeline" -> ((s, dir) =>
       graft.operators.Curation.curatePipeline(documents(s, dir)))
   )
@@ -472,6 +474,7 @@ object SparkEntry {
     "mix_budget" -> graft.functions.OracleSqlCuration.tokenBudgetMix,
     "mix_budget_stats" -> graft.functions.OracleSqlCuration.tokenBudgetStats,
     "seq_pack" -> graft.functions.OracleSqlCuration.seqPack,
+    "seq_pack_shuffled" -> graft.functions.OracleSqlCuration.seqPackShuffled,
     "curate_pipeline" -> graft.functions.OracleSqlCuration.curatePipeline
   )
 }

@@ -197,4 +197,28 @@ object OracleSqlCuration {
        |       CAST(cum_before % $cap AS BIGINT) AS start_offset
        |FROM cum ORDER BY doc_id""".stripMargin
   }
+
+  /** Mirror of Packing.seqPackShuffled: the same chunking over the md5-permuted
+    * order (sort_key, doc_id). The oracle's single ORDER BY window is the semantic
+    * spec; the Spark side reaches the same sums via leading-nibble hash-range
+    * buckets. sort_key rides in the output so the realized ORDER is hashed too. */
+  val seqPackShuffled: String = {
+    val cap = graft.operators.Packing.Capacity
+    s"""WITH tk AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         substr(md5('${graft.operators.Packing.ShuffleSalt}:' || CAST(doc_id AS VARCHAR)), 1, 8) AS sort_key
+       |  FROM documents
+       |),
+       |cum AS (
+       |  SELECT doc_id, n_tokens, sort_key,
+       |         CAST(coalesce(sum(n_tokens) OVER (ORDER BY sort_key, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM tk
+       |)
+       |SELECT doc_id, n_tokens, sort_key,
+       |       CAST(cum_before // $cap AS BIGINT) AS start_window,
+       |       CAST((cum_before + n_tokens - 1) // $cap AS BIGINT) AS end_window,
+       |       CAST(cum_before % $cap AS BIGINT) AS start_offset
+       |FROM cum ORDER BY doc_id""".stripMargin
+  }
 }

@@ -45,6 +45,28 @@ class PackingSpec extends AnyFunSuite {
     assert(collectPack(Packing.seqPack(documents, nBuckets = 7)) === b64)
   }
 
+  test("shuffled packing equals the sequential definition over the md5 permutation") {
+    val keyed = documents
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"),
+        substring(md5(concat_ws(":", lit(Packing.ShuffleSalt),
+          col("doc_id").cast("string"))), 1, 8).as("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    var cum = 0L
+    val cap = Packing.Capacity
+    val expected = keyed.sortBy(t => (t._3, t._1)).map { case (id, n, k) =>
+      val before = cum; cum += n
+      id -> (n, k, before / cap, (before + n - 1) / cap, before % cap)
+    }.toMap
+    val got = Packing.seqPackShuffled(documents).collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toMap
+    assert(got === expected)
+    // the permutation is non-trivial: shuffled order differs from id order
+    val idOrder = keyed.map(_._1).sorted
+    val shufOrder = keyed.sortBy(t => (t._3, t._1)).map(_._1)
+    assert(idOrder !== shufOrder)
+  }
+
   test("sparse non-dense ids pack in id order") {
     import spark.implicits._
     val sparse = Seq(
