@@ -346,7 +346,8 @@ object SparkEntry {
       Dedup.simhash(Dedup.withMutants(documents(s, dir)))),
     "simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(Dedup.withMutants(documents(s, dir)))),
-    "dedup_groups" -> ((s, dir) => Dedup.dedupGroups(documents(s, dir))),
+    "dedup_groups" -> ((s, dir) => Dedup.dedupGroups(documents(s, dir),
+      Some(derivedDir(dir, "siggroup", Dedup.SigFormatVersion)))),
     "neardup_incremental" -> ((s, dir) => Dedup.neardupIncremental(
       documents(s, dir), Dedup.mutantsOnly(documents(s, dir)), sigBaseDirFor(dir))),
     // ---- reference API surface: languages, capabilities, lang-dim join -----------

@@ -324,11 +324,19 @@ object Dedup {
    * belongs to a non-trivial group as (doc_id, rep_id, group_size, is_canonical).
    * A curation pass keeps `is_canonical = 1` and drops the rest — pairs alone are
    * not actionable (transitive families must be deduplicated ONCE, not per-pair).
+   *
+   * `sigDir` routes the near-dup signatures through the snapshot protocol
+   * ([[committedBands]] — the registered standing form, like `neardup_pairs`);
+   * None uses the per-session ad-hoc form (tests).
    */
-  def dedupGroups(documents: DataFrame): DataFrame = {
+  def dedupGroups(documents: DataFrame, sigDir: Option[String] = None): DataFrame = {
     val corpus = withGroupCorpus(documents).localCheckpoint(eager = false)
+    val near = sigDir match {
+      case Some(d) => neardupPairsCommitted(corpus, d)
+      case None => neardupPairs(corpus)
+    }
     val edges = exactEdges(corpus).select(col("doc_a"), col("doc_b"))
-      .unionByName(neardupPairs(corpus).select(col("doc_a"), col("doc_b")))
+      .unionByName(near.select(col("doc_a"), col("doc_b")))
       .distinct()
       .localCheckpoint(eager = false) // endpoints + CC both read it
     // label table over edge ENDPOINTS only, not the corpus: a doc in no edge is a
