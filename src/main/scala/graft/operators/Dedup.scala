@@ -255,22 +255,27 @@ object Dedup {
    * Scale shape per round: one shuffle keyed on `v` (the propagate join and the min
    * aggregation share it — exchange reuse) plus one join keyed on `rep`. The edge
    * list is materialized ONCE and re-read every round; per-round label tables are
-   * localCheckpoint'd to truncate lineage (without it the plan doubles per round).
-   * Labels are TRANSIENT iteration state — an executor loss recomputes from the
-   * last materialized table, and a production run over 10^9+ vertices would point
-   * `sparkContext.setCheckpointDir` at durable storage and swap these for reliable
-   * checkpoints; the committed INPUTS (signature/pair tables) already live under
-   * the snapshot protocol. Convergence is detected with a limit(1) existence probe,
+   * checkpointed to truncate lineage (without it the plan doubles per round) —
+   * RELIABLY when `sparkContext.setCheckpointDir` points at durable storage (the
+   * production form: an executor/host loss costs one re-read, not a restart of the
+   * whole iteration), falling back to executor-local blocks otherwise (local runs,
+   * tests). The committed INPUTS (signature/pair tables) already live under the
+   * snapshot protocol. Convergence is detected with a limit(1) existence probe,
    * not a full count.
    */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
       maxIter: Int = CcMaxIter): DataFrame = {
-    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct()
-      .localCheckpoint(eager = true) // re-read every round
-    var lbl = vertices.select(col("doc_id").as("v"), col("doc_id").as("rep"))
-      .localCheckpoint(eager = true)
+    // reliable checkpoint when a durable dir is configured; local blocks otherwise
+    def materialize(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    val sym = materialize(
+      edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .distinct()) // re-read every round
+    var lbl = materialize(
+      vertices.select(col("doc_id").as("v"), col("doc_id").as("rep")))
     var round = 0
     while (round < maxIter) {
       // propagate: rep(v) <- min(rep(v), min over neighbors u of rep(u)); the
@@ -286,11 +291,10 @@ object Dedup {
       // join. The round's change flag rides along (rep != round-start rep), so
       // convergence detection is a shuffle-free scan of the checkpointed result
       // instead of a join back against the previous labels.
-      val next = minRep.as("a")
+      val next = materialize(minRep.as("a")
         .join(minRep.as("b"), col("a.rep") === col("b.v"))
         .select(col("a.v").as("v"), col("b.rep").as("rep"),
-          (col("b.rep") =!= col("a.orep")).as("chg"))
-        .localCheckpoint(eager = true)
+          (col("b.rep") =!= col("a.orep")).as("chg")))
       val changed = next.filter(col("chg")).limit(1).count() > 0
       lbl = next.select(col("v"), col("rep"))
       round += 1

@@ -31,6 +31,22 @@ class CcSpec extends AnyFunSuite {
     assert(got.values.forall(_ == 0L), "single component rooted at min vertex 0")
   }
 
+  test("a configured checkpoint dir switches iteration state to reliable checkpoints") {
+    import spark.implicits._
+    val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-cc-ckpt")
+    graft.sources.SnapshotSink.deleteRecursively(dir)
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    val vertices = Seq(1L, 2L, 3L).toDF("doc_id")
+    val edges = Seq((2L, 1L), (3L, 2L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(vertices, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // reliable checkpoint files actually landed in the durable dir
+    val files = java.nio.file.Files.walk(dir).filter(java.nio.file.Files.isRegularFile(_))
+      .count()
+    assert(files > 0, "expected RDD checkpoint files under the configured dir")
+  }
+
   test("two components + a singleton resolve to their own minima") {
     import spark.implicits._
     val vertices = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("doc_id")
