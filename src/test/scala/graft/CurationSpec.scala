@@ -123,6 +123,17 @@ class CurationSpec extends AnyFunSuite {
       "thresholds reject nothing — the funnel is vacuous")
   }
 
+  test("budget-mix keep stage is a shuffle-free scan (no Exchange before the sort)") {
+    // the rates are a driver literal by the time the filter plans, so the keep
+    // stage must be scan+filter exactly like the open-loop sampler; only the
+    // trailing presentation orderBy may exchange. Count exchanges in the full
+    // registered plan: exactly the one range exchange from the sort.
+    val exchanges = Curation.tokenBudgetMix(docs)
+      .queryExecution.executedPlan.collect { case e: Exchange => e }
+    assert(exchanges.size <= 1,
+      s"keep stage must not shuffle; found ${exchanges.size} exchanges")
+  }
+
   test("token-budget mix: deterministic, budget-respecting, stats reconcile") {
     val mix1 = Curation.tokenBudgetMix(docs).collect()
     val mix2 = Curation.tokenBudgetMix(docs).collect()

@@ -67,6 +67,16 @@ class PackingSpec extends AnyFunSuite {
     assert(idOrder !== shufOrder)
   }
 
+  test("pack plan: one bucket-hash exchange feeds the window; text never scanned twice") {
+    // the two-level scan's whole point is that the window partitions by bucket —
+    // a plan that fell back to a global Window.orderBy would show a single-partition
+    // exchange. Assert the window's exchange is hash partitioning (by bucket), not
+    // a SinglePartition.
+    val plan = Packing.seqPack(documents).queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      "global single-partition window defeats the two-level prefix sum")
+  }
+
   test("sparse non-dense ids pack in id order") {
     import spark.implicits._
     val sparse = Seq(
