@@ -75,6 +75,71 @@ object TableSnapshot {
       invalid.map(_.bucket).sorted, totalRows)
   }
 
+  /**
+   * TAKEDOWN CASCADE for derived tables: bucket-granular copy-on-write delete of
+   * every row whose `idCol` is in `ids`, the [[SnapshotSink.deleteDocs]] analogue
+   * for hash-bucketed committed tables. A right-to-be-forgotten delete is not done
+   * when the extraction snapshot is clean — the doc's MinHash bands / term rows
+   * live on in committed derived tables; this rewrites exactly the buckets that can
+   * contain the ids (routed by the SAME `pmod(hash(id), nBuckets)` the writers use,
+   * computed by one tiny literal-Dataset job — no table scan), republishes through
+   * the same commit cycle, and leaves untouched buckets' bytes untouched.
+   *
+   * Same heal caveat as extraction takedown: a later invalidate->resume re-derives
+   * the bucket FROM ITS SOURCE — cascade order is source corpus first, derived
+   * tables second (and fingerprint-keyed derived dirs of a superseded corpus should
+   * be dropped wholesale, which their corpus-identity keying makes safe).
+   */
+  def deleteIds(
+      spark: SparkSession,
+      outDir: String,
+      ids: Seq[Long],
+      idCol: String = "doc_id",
+      nBuckets: Int = SnapshotSink.DefaultBuckets,
+      io: CommitIo = PosixCommitIo): SnapshotSink.DeleteReport = {
+    require(ids.nonEmpty, "deleteIds needs at least one id")
+    val out = Paths.get(outDir)
+    val existing = SnapshotSink.readManifest(spark, outDir)
+    require(existing.nonEmpty, s"no committed table under $outDir")
+    require(existing.forall(e => e.bucket >= 0 && e.bucket < nBuckets),
+      s"manifest buckets outside [0, $nBuckets) — wrong nBuckets for this table?")
+
+    // route ids -> buckets with the writers' own hash (Spark Murmur3), driver-side
+    import spark.implicits._
+    val affectedBuckets = ids.toDS()
+      .select(pmod(hash(col("value")), lit(nBuckets)).cast("long").as("b"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val affected = existing
+      .filter(e => affectedBuckets.contains(e.bucket) && e.rows > 0)
+      .map(_.bucket).sorted
+
+    var manifest = existing.sortBy(_.bucket)
+    var deleted = 0L
+    val rewritten = Seq.newBuilder[Long]
+    affected.foreach { b =>
+      val entry = manifest.find(_.bucket == b).get
+      val files = entry.files.map(f => SnapshotSink.bucketDir(out, b).resolve(f).toString)
+      val cur = spark.read.option("basePath", out.resolve("data").toString)
+        .parquet(files: _*)
+      val matches = cur.filter(col(idCol).isInCollection(ids)).count()
+      if (matches > 0) {
+        val t0 = System.nanoTime()
+        val kept = cur.filter(!col(idCol).isInCollection(ids))
+          .withColumn("bucket", lit(b))
+        val (m2, _) = SnapshotSink.commitWaveFlat(
+          spark, out, kept, Seq(b), manifest.filterNot(_.bucket == b), t0, io = io,
+          layoutCols = Seq("bucket") ++ kept.columns.find(c =>
+            c != "bucket").toSeq,
+          spanMetrics = false)
+        manifest = m2
+        deleted += matches
+        rewritten += b
+      }
+    }
+    SnapshotSink.deleteRecursively(out.resolve("staging"))
+    SnapshotSink.DeleteReport(deleted, rewritten.result())
+  }
+
   /** Read the committed table back (original schema + bucket partition column).
     * `mergeSchema` unions the per-file schemas, so after an add-column evolution
     * ([[recordSchema]]) buckets committed under an older schema version surface the

@@ -94,4 +94,50 @@ class SignatureStoreSpec extends AnyFunSuite {
       dir, Dedup.SigBuckets)
     assert(again.processed.isEmpty)
   }
+
+  test("takedown cascade: deleteIds removes a doc's signatures, bucket-granular") {
+    val dir = freshDir("takedown")
+    Dedup.committedBands(docs, dir) // initial commit
+    val before = TableSnapshot.readBack(spark, dir)
+    val beforeCount = before.count() // eager: file listings go stale after rewrite
+    val allIds = before.select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val victims = allIds.toSeq.sorted.take(3)
+
+    // bytes of buckets that cannot contain the victims must stay untouched
+    val victimBuckets = victims
+      .map(id => before.sparkSession.range(1).select(
+        pmod(hash(lit(id)), lit(Dedup.SigBuckets))).head.getInt(0).toLong)
+      .toSet
+    val untouched = SnapshotSink.readManifest(spark, dir)
+      .filterNot(e => victimBuckets.contains(e.bucket))
+    def fileBytes(e: SnapshotSink.ManifestEntry): Seq[(String, Long)] =
+      e.files.map { f =>
+        val p = Paths.get(dir, "data", s"bucket=${e.bucket}", f)
+        f -> Files.size(p)
+      }
+    val bytesBefore = untouched.map(e => e.bucket -> fileBytes(e)).toMap
+
+    val report = TableSnapshot.deleteIds(spark, dir, victims, "doc_id", Dedup.SigBuckets)
+    assert(report.deletedRows === victims.size * 4L, "4 band rows per doc")
+    assert(report.rewrittenBuckets.toSet.subsetOf(victimBuckets))
+
+    val after = TableSnapshot.readBack(spark, dir)
+    assert(after.filter(col("doc_id").isInCollection(victims)).count() === 0L)
+    // bystanders intact: exactly the non-victim rows remain
+    assert(after.count() === beforeCount - victims.size * 4L)
+    // untouched buckets byte-identical
+    untouched.foreach { e =>
+      assert(fileBytes(e) === bytesBefore(e.bucket), s"bucket ${e.bucket} rewritten")
+    }
+    // the manifest still verifies: a rerun resumes as a no-op (no heal resurrects)
+    val again = TableSnapshot.run(
+      Dedup.minhashBands(docs).withColumn("bucket",
+        pmod(hash(col("doc_id")), lit(Dedup.SigBuckets)).cast("int")),
+      dir, Dedup.SigBuckets)
+    assert(again.processed.isEmpty, "post-delete manifest must verify clean")
+    assert(TableSnapshot.readBack(spark, dir)
+      .filter(col("doc_id").isInCollection(victims)).count() === 0L,
+      "a verifying resume must not resurrect deleted ids")
+  }
 }
