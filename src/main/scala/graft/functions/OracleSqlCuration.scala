@@ -104,7 +104,7 @@ object OracleSqlCuration {
        |  FROM $src
        |),
        |tot AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS t FROM tk GROUP BY lang),
-       |bt AS (SELECT CAST(floor(${Curation.BudgetFrac} * sum(t)) AS BIGINT) AS budget_total FROM tot),
+       |bt AS (SELECT CAST(floor(CAST(${Curation.BudgetFrac} AS DOUBLE) * sum(t)) AS BIGINT) AS budget_total FROM tot),
        |shares(lang, share) AS (SELECT * FROM (VALUES $shares)),
        |thr AS (
        |  SELECT tot.lang, tot.t,

@@ -152,9 +152,17 @@ object Curation {
    * driver fold, then a shuffle-free codegen'd filter — the same composes-with-
    * partition-pruning shape as [[sampleStratified]].
    */
-  def tokenBudgetMix(documents: DataFrame): DataFrame = {
+  def tokenBudgetMix(documents: DataFrame): DataFrame =
+    tokenBudgetMixFrom(documents, budgetTable(documents))
+
+  /** The mix filter given an already-computed budget table — lets
+    * [[tokenBudgetStats]] reuse one totals aggregation for both the report dim
+    * and the membership filter (two full-corpus aggregates would be a redundant
+    * scan at 100 TB). */
+  private def tokenBudgetMixFrom(
+      documents: DataFrame, table: Seq[(String, Long, Long)]): DataFrame = {
     val key = budgetKey(col("doc_id"))
-    val keep = budgetTable(documents).foldRight(lit(false): Column) {
+    val keep = table.foldRight(lit(false): Column) {
       case ((lang, t, b), acc) =>
         val kept =
           if (t <= b) lit(true)
@@ -177,8 +185,9 @@ object Curation {
   def tokenBudgetStats(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val dim = budgetTable(documents).toDF("lang", "tokens_total", "budget_tokens")
-    val kept = tokenBudgetMix(documents)
+    val table = budgetTable(documents) // computed once, reused by the filter below
+    val dim = table.toDF("lang", "tokens_total", "budget_tokens")
+    val kept = tokenBudgetMixFrom(documents, table)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("kept_tokens"))
     dim.join(kept, Seq("lang"), "left")

@@ -259,7 +259,10 @@ object Dedup {
    * RELIABLY when `sparkContext.setCheckpointDir` points at durable storage (the
    * production form: an executor/host loss costs one re-read, not a restart of the
    * whole iteration), falling back to executor-local blocks otherwise (local runs,
-   * tests). The committed INPUTS (signature/pair tables) already live under the
+   * tests). Reliable-checkpoint retention: Spark deletes superseded checkpoint
+   * files only with `spark.cleaner.referenceTracking.cleanCheckpoints=true` — set
+   * it (or sweep the checkpoint dir post-job); otherwise each round's label table
+   * stays on durable storage until application exit. The committed INPUTS (signature/pair tables) already live under the
    * snapshot protocol. Convergence is detected with a limit(1) existence probe,
    * not a full count.
    */
@@ -284,9 +287,14 @@ object Dedup {
       // constraint rewrite on constraint-bearing inputs, e.g. spark.range)
       val neighborMin = sym.join(lbl, sym("src") === lbl("v"))
         .groupBy(col("dst").as("nv")).agg(min(col("rep")).as("nrep"))
+      // persisted: BOTH sides of the doubling self-join read minRep — without it
+      // the propagate join+agg executes twice per round (exchange reuse dedups the
+      // shuffles, not the post-shuffle work); released right after `next`
+      // materializes
       val minRep = lbl.join(neighborMin, col("v") === col("nv"), "left")
         .select(col("v"), col("rep").as("orep"),
           least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+        .persist()
       // double: rep(v) <- rep(rep(v)); every rep is itself a vertex, so inner
       // join. The round's change flag rides along (rep != round-start rep), so
       // convergence detection is a shuffle-free scan of the checkpointed result
@@ -295,6 +303,7 @@ object Dedup {
         .join(minRep.as("b"), col("a.rep") === col("b.v"))
         .select(col("a.v").as("v"), col("b.rep").as("rep"),
           (col("b.rep") =!= col("a.orep")).as("chg")))
+      minRep.unpersist(blocking = false)
       val changed = next.filter(col("chg")).limit(1).count() > 0
       lbl = next.select(col("v"), col("rep"))
       round += 1

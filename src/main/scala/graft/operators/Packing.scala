@@ -89,10 +89,21 @@ object Packing {
     val stats = documents.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"))
 
-    // order-preserving chunking of the id range; ceil so bucket ids stay < nBuckets
-    val maxId = stats.agg(max(col("doc_id"))).head.getLong(0)
+    // empty input (reachable via curate_pipeline when every doc is filtered out):
+    // an empty pack, not an NPE off the null max
+    val maxRow = stats.agg(max(col("doc_id"))).head
+    if (maxRow.isNullAt(0))
+      return stats.withColumn("cum_before", lit(0L))
+        .select(Seq(col("doc_id"), col("n_tokens")) ++ windowCols(capacity): _*)
+        .limit(0)
+
+    // order-preserving chunking of the id range; ceil so bucket ids stay < nBuckets.
+    // Integer DIV, not `/`: Spark's Divide is double-valued, and the module's
+    // contract is that position arithmetic never rounds past 2^53
+    val maxId = maxRow.getLong(0)
     val chunk = math.max(1L, (maxId + nBuckets) / nBuckets)
-    val bucketed = stats.withColumn("bucket", (col("doc_id") / lit(chunk)).cast("int"))
+    val bucketed = stats.withColumn("bucket",
+      expr(s"doc_id DIV $chunk").cast("int"))
 
     packCore(bucketed, Seq(col("doc_id")))
       .select(Seq(col("doc_id"), col("n_tokens")) ++ windowCols(capacity): _*)

@@ -103,6 +103,13 @@ object TableSnapshot {
     require(existing.nonEmpty, s"no committed table under $outDir")
     require(existing.forall(e => e.bucket >= 0 && e.bucket < nBuckets),
       s"manifest buckets outside [0, $nBuckets) — wrong nBuckets for this table?")
+    // the routing below hashes LONG ids; Murmur3 hashes Int and Long DIFFERENTLY,
+    // so an INT-typed id column would route to the wrong buckets and this would
+    // return a success-shaped DeleteReport(0, Nil) while the rows persist — refuse
+    val idType = readBack(spark, outDir).schema(idCol).dataType
+    require(idType == org.apache.spark.sql.types.LongType,
+      s"deleteIds routes buckets via hash(BIGINT); committed `$idCol` is $idType — " +
+        "pass ids in the column's own type family (extend deleteIds) or rewrite")
 
     // route ids -> buckets with the writers' own hash (Spark Murmur3), driver-side
     import spark.implicits._
@@ -124,7 +131,9 @@ object TableSnapshot {
       val matches = cur.filter(col(idCol).isInCollection(ids)).count()
       if (matches > 0) {
         val t0 = System.nanoTime()
-        val kept = cur.filter(!col(idCol).isInCollection(ids))
+        // NULL-id bystanders must survive: NOT(NULL IN (...)) evaluates to NULL,
+        // which a bare filter would drop — silent data loss in the rewrite
+        val kept = cur.filter(col(idCol).isNull || !col(idCol).isInCollection(ids))
           .withColumn("bucket", lit(b))
         val (m2, _) = SnapshotSink.commitWaveFlat(
           spark, out, kept, Seq(b), manifest.filterNot(_.bucket == b), t0, io = io,

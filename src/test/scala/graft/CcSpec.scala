@@ -36,15 +36,21 @@ class CcSpec extends AnyFunSuite {
     val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-cc-ckpt")
     graft.sources.SnapshotSink.deleteRecursively(dir)
     spark.sparkContext.setCheckpointDir(dir.toString)
-    val vertices = Seq(1L, 2L, 3L).toDF("doc_id")
-    val edges = Seq((2L, 1L), (3L, 2L)).toDF("doc_a", "doc_b")
-    val got = Dedup.connectedComponents(vertices, edges)
-      .as[(Long, Long)].collect().toMap
-    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
-    // reliable checkpoint files actually landed in the durable dir
-    val files = java.nio.file.Files.walk(dir).filter(java.nio.file.Files.isRegularFile(_))
-      .count()
-    assert(files > 0, "expected RDD checkpoint files under the configured dir")
+    try {
+      val vertices = Seq(1L, 2L, 3L).toDF("doc_id")
+      val edges = Seq((2L, 1L), (3L, 2L)).toDF("doc_a", "doc_b")
+      val got = Dedup.connectedComponents(vertices, edges)
+        .as[(Long, Long)].collect().toMap
+      assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+      // reliable checkpoint files actually landed in the durable dir
+      val files = java.nio.file.Files.walk(dir)
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(files > 0, "expected RDD checkpoint files under the configured dir")
+    } finally {
+      // shared session: leaving the dir set would flip every later
+      // connectedComponents caller in the suite to reliable checkpoints
+      spark.sparkContext.setCheckpointDir(null)
+    }
   }
 
   test("two components + a singleton resolve to their own minima") {
