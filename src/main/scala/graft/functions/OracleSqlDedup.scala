@@ -129,6 +129,10 @@ object OracleSqlDedup {
        |         CASE b.band WHEN 0 THEN md5(mh0 || mh1) WHEN 1 THEN md5(mh2 || mh3)
        |                     WHEN 2 THEN md5(mh4 || mh5) ELSE md5(mh6 || mh7) END AS band_hash
        |  FROM sig, UNNEST([0, 1, 2, 3]) AS b(band)
+       |),
+       |bandsc AS (
+       |  SELECT doc_id, band, band_hash FROM bands
+       |  QUALIFY count(*) OVER (PARTITION BY band, band_hash) <= ${graft.operators.Dedup.MaxBucketOccupancy}
        |)""".stripMargin
   }
 
@@ -142,7 +146,7 @@ object OracleSqlDedup {
   private val nearPairsChain: String =
     """cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM bands a JOIN bands b
+      |  FROM bandsc a JOIN bandsc b
       |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
       |),
       |shd AS (SELECT doc_id, unnest(list_distinct(sh)) AS s FROM shq),
@@ -205,7 +209,7 @@ object OracleSqlDedup {
     s"""$minhashCtes,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
+       |  FROM bandsc a JOIN bandsc b
        |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
        |),
        |shd AS (SELECT doc_id, unnest(list_distinct(sh)) AS s FROM shq),
@@ -296,9 +300,13 @@ object OracleSqlDedup {
        |              AS BIGINT) AS block_val
        |  FROM sps, UNNEST([0, 1, 2, 3]) AS b(b)
        |),
+       |bkc AS (
+       |  SELECT doc_id, simhash, block_idx, block_val FROM bk
+       |  QUALIFY count(*) OVER (PARTITION BY block_idx, block_val) <= ${graft.operators.Dedup.MaxBucketOccupancy}
+       |),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sa, b.doc_id AS doc_b, b.simhash AS sb
-       |  FROM bk a JOIN bk b
+       |  FROM bkc a JOIN bkc b
        |    ON a.block_idx = b.block_idx AND a.block_val = b.block_val AND a.doc_id < b.doc_id
        |)
        |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming

@@ -81,10 +81,14 @@ object OracleSqlSim {
        |bands AS (
        |$lshBandsSql
        |),
+       |bandsc AS (
+       |  SELECT * FROM bands
+       |  QUALIFY count(*) OVER (PARTITION BY band, key) <= ${graft.operators.Dedup.MaxBucketOccupancy}
+       |),
        |pairs AS (
        |  SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b,
        |         ${cosE6(dot("a.q", "b2.q"), "a.n2", "b2.n2")} AS cos_e6
-       |  FROM bands a JOIN bands b2
+       |  FROM bandsc a JOIN bandsc b2
        |    ON a.band = b2.band AND a.key = b2.key AND a.vec_id < b2.vec_id
        |)
        |SELECT vec_a, vec_b, cos_e6 FROM pairs

@@ -146,10 +146,14 @@ object SnapshotSink {
       // >= nBuckets matching NO wave filter — documents silently never extracted,
       // manifests "successfully" committed short. The range check is
       // pruning-resolved on a partitioned source (zero file reads when clean).
-      val bad = docs.filter(col("bucket") < 0 || col("bucket") >= nBuckets)
+      // NULL included: NULL < 0 is NULL, so a bare range filter would pass NULL
+      // buckets, which then match NO wave's isin filter — the same silent-loss
+      // class as out-of-range values
+      val bad = docs.filter(col("bucket").isNull
+          || col("bucket") < 0 || col("bucket") >= nBuckets)
         .limit(1).count()
       require(bad == 0,
-        s"input `bucket` column has values outside [0, $nBuckets) — " +
+        s"input `bucket` column has NULLs or values outside [0, $nBuckets) — " +
           "bucket-layout / nBuckets mismatch would silently drop documents")
       // (2) Agreement: an IN-RANGE but wrong-function column (e.g. a constant) can
       // pass tier 1 AND commitWaveFlat's stray-bucket gate whenever the misassigned
@@ -172,6 +176,20 @@ object SnapshotSink {
       }
     }
     val (valid, invalid) = verifyEntries(spark, out, existing, deepVerify)
+    // A NON-canonical manifest (multi-generation, mid-flight stream) with a
+    // failed-verify composite bucket must fail LOUDLY before anything is deleted:
+    // run() can only re-extract base buckets 0..nBuckets-1 from the source corpus,
+    // so deleting a composite id's data here would be unrecoverable (the stream
+    // checkpoint has advanced past that batch) while the manifest still lists it.
+    // Heal path for streams: re-deliver the batch, or compact() verified
+    // generations first.
+    require(
+      existing.map(_.bucket % nBuckets).distinct.size == existing.size
+        || invalid.isEmpty,
+      s"bucket(s) ${invalid.map(_.bucket).sorted.mkString(",")} fail verification " +
+        "in a non-canonical (multi-generation stream) manifest — run() cannot " +
+        "re-extract composite stream ids; re-deliver the stream batch or compact() " +
+        "the verified generations first")
     invalid.foreach(e => deleteRecursively(dataDir.resolve(s"bucket=${e.bucket}")))
     // Resume-side half of the layout guard: a bucket being RE-extracted whose prior
     // manifest entry recorded rows > 0 must not stage empty — that is the silent-loss
@@ -267,6 +285,32 @@ object SnapshotSink {
 
   /** Parse the manifest (empty if none exists yet). Read through Spark's JSON source
     * with the case-class schema — no extra JSON dependency. */
+  /** Sidecar transaction log for the streaming sink (`stream-batches.json`, JSON
+    * lines of {batch, base}): maps EXTERNAL micro-batch ids to their allocated
+    * composite base so (a) a re-delivered batch reuses its allocation and the
+    * skip-verify stays idempotent, and (b) allocations and compaction generations
+    * share one strictly-increasing id space. Written atomically through the same
+    * [[CommitIo]] seam as manifests; a crash between allocation and data commit
+    * just leaves a reserved generation the re-delivery fills in. */
+  private[sources] def readBatchBases(out: Path): Map[Long, Long] = {
+    val p = out.resolve("stream-batches.json")
+    if (!Files.exists(p)) return Map.empty
+    val Line = """\{"batch":(-?\d+),"base":(-?\d+)\}""".r
+    Files.readAllLines(p).asScala.flatMap {
+      case Line(b, base) => Some(b.toLong -> base.toLong)
+      case _ => None
+    }.toMap
+  }
+
+  private def recordBatchBases(out: Path, io: CommitIo, m: Map[Long, Long]): Unit = {
+    val body = m.toSeq.sorted
+      .map { case (b, base) => s"""{"batch":$b,"base":$base}""" }
+      .mkString("", "\n", "\n")
+    val tmp = Files.createTempFile(out, ".batches", ".tmp")
+    Files.writeString(tmp, body)
+    io.publishFile(tmp, out.resolve("stream-batches.json"))
+  }
+
   def readManifest(spark: SparkSession, outDir: String): Seq[ManifestEntry] =
     parseManifest(spark, Paths.get(outDir).resolve("manifest.json"))
 
@@ -356,7 +400,11 @@ object SnapshotSink {
     * whose files were reclaimed still fails loudly on read). Returns pruned
     * versions. */
   def expireVersions(outDir: String, keepLast: Int): Seq[Long] = {
-    require(keepLast >= 0, s"keepLast must be >= 0, got $keepLast")
+    // >= 1, not >= 0: expiring the NEWEST version would let writeManifest re-issue
+    // its number with different content, silently corrupting every time-travel /
+    // changelog read (and any tag) that resolved the old number
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast — version " +
+      "numbers are never reused, so the newest history file must survive")
     val out = Paths.get(outDir)
     val pinned = tags(outDir).values.toSet
     val drop = versions(outDir).dropRight(keepLast).filterNot(pinned)
@@ -573,7 +621,22 @@ object SnapshotSink {
     val spark = flat.sparkSession
     val out = Paths.get(outDir)
     Files.createDirectories(out.resolve("data"))
-    val base = batchId * nBuckets
+    // Composite base comes from the sidecar transaction log, NOT batchId*nBuckets:
+    // compact() writes its canonical generation at max+1, which is exactly the id
+    // range `batchId * nBuckets` would hand the NEXT micro-batch — the skip-verify
+    // would then find the compacted generation "already committed" and silently
+    // swallow the whole batch. Allocating the next free generation at commit time
+    // (and recording batchId -> base so a re-delivered batch reuses its allocation)
+    // keeps ids strictly increasing across batches AND compactions. For a fresh
+    // sequential stream the allocation degenerates to generation == batchId.
+    val recorded = readBatchBases(out)
+    val base = recorded.getOrElse(batchId, {
+      val maxKnown = (readManifest(spark, outDir).map(_.bucket) ++
+        recorded.values.map(_ + nBuckets - 1)).foldLeft(-1L)(math.max)
+      val b = if (maxKnown < 0) 0L else ((maxKnown / nBuckets) + 1) * nBuckets
+      recordBatchBases(out, io, recorded + (batchId -> b))
+      b
+    })
     val ids = (base until base + nBuckets)
     val existing = readManifest(spark, outDir)
     val (valid, _) = verifyEntries(spark, out,
@@ -643,7 +706,12 @@ object SnapshotSink {
         "verification — heal them first (re-deliver the stream batch / re-run the " +
         "batch sink); compacting unverified data would bake corruption into the new " +
         "generation")
-    val gen = existing.map(_.bucket / nBuckets).max + 1
+    // next free generation over BOTH the manifest and the stream sidecar's
+    // allocations — a batch that reserved a base but crashed before committing data
+    // must not have its generation stolen by compaction (its re-delivery would then
+    // collide with the compacted ids)
+    val gen = (existing.map(_.bucket / nBuckets) ++
+      readBatchBases(out).values.map(_ / nBuckets)).max + 1
     val dataPath = out.resolve("data")
     val byBase = valid.groupBy(e => e.bucket % nBuckets)
     val bases = byBase.keys.toSeq.sorted

@@ -63,7 +63,7 @@ object StreamingExtract {
    * long-running stream's directory count. Default never compacts.
    */
   def drainOnceCommitted(spark: SparkSession, tableDir: String, outDir: String,
-      checkpointDir: String, nBuckets: Int = 8,
+      checkpointDir: String, nBuckets: Int = graft.sources.SnapshotSink.DefaultBuckets,
       compactThreshold: Int = Int.MaxValue): Unit = {
     val q = stream(spark, tableDir).writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -21,22 +21,44 @@ class PlanSpec extends AnyFunSuite {
 
   private def planOf(df: DataFrame): String = df.queryExecution.executedPlan.toString
 
-  // The snapshot_* protocol queries are excluded: building their DataFrames RUNS
-  // the snapshot protocol (covered by SnapshotResumeSpec / SnapshotCompactSpec /
-  // SnapshotTimeTravelSpec); the returned frames are local manifest tables or
-  // single-table committed-parquet aggregations with no join surface.
+  // Excluded from the registered-builder sweep: queries whose DataFrame
+  // CONSTRUCTION runs a protocol or iterative job — the snapshot_* family commits
+  // snapshots (covered by SnapshotResumeSpec / SnapshotCompactSpec /
+  // SnapshotTimeTravelSpec / DeleteDocsSpec), and the committed-derived-table /
+  // iterative queries run TableSnapshot commits or the CC loop as a side effect of
+  // building (a "plan-only" audit must not trigger corpus-scale writes). Their
+  // join topology is identical to the plan-only ad-hoc forms checked in the second
+  // test below.
+  private val buildExecutes = Set(
+    "snapshot_lineage", "snapshot_resume", "snapshot_compact",
+    "snapshot_timetravel", "snapshot_changes", "snapshot_takedown",
+    "neardup_pairs", "top_terms", "dedup_groups", "neardup_incremental")
+
   private val planChecked =
-    SparkEntry.queries.keys
-      .filterNot(Set("snapshot_lineage", "snapshot_resume", "snapshot_compact",
-        "snapshot_timetravel", "snapshot_changes", "snapshot_takedown"))
-      .toSeq.sorted
+    SparkEntry.queries.keys.filterNot(buildExecutes).toSeq.sorted
+
+  private def assertNoQuadraticJoin(name: String, df: DataFrame): Option[String] = {
+    val plan = planOf(df)
+    Seq("BroadcastNestedLoopJoin", "CartesianProduct")
+      .filter(plan.contains).map(op => s"$name: $op").headOption
+  }
 
   test("no registered query plans a BroadcastNestedLoopJoin or CartesianProduct") {
     val offenders = planChecked.flatMap { name =>
-      val plan = planOf(SparkEntry.queries(name)(spark, sfDir))
-      Seq("BroadcastNestedLoopJoin", "CartesianProduct")
-        .filter(plan.contains).map(op => s"$name: $op")
+      assertNoQuadraticJoin(name, SparkEntry.queries(name)(spark, sfDir))
     }
+    assert(offenders.isEmpty, s"quadratic join operators in plans: $offenders")
+  }
+
+  test("protocol-backed pipelines' ad-hoc forms plan no quadratic join either") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // same join topology as the registered committed-table forms, but lazy
+    // (localCheckpoint(eager=false) islands) — plan inspection runs nothing
+    val offenders = Seq(
+      "neardup_pairs(ad-hoc)" -> Dedup.neardupPairs(Dedup.withMutants(docs)),
+      "top_terms(ad-hoc)" -> TextAnalysis.topTerms(docs, tfStore = None)
+    ).flatMap { case (n, df) => assertNoQuadraticJoin(n, df) }
     assert(offenders.isEmpty, s"quadratic join operators in plans: $offenders")
   }
 

@@ -82,6 +82,47 @@ class SnapshotCompactSpec extends AnyFunSuite {
     assert(report.skipped.sorted === after.map(_.bucket).sorted)
   }
 
+  test("a micro-batch arriving AFTER compaction is never swallowed by the compacted generation") {
+    val out = tmpDir("postcompact")
+    val flat = ExtractPipeline.extractFlat(Interleave.docs(spark, sfDir))
+    def batch(i: Int) = flat.filter(pmod(hash(col("doc_id")), lit(3)) === i)
+    // batches 0 and 1 drain; the checkpoint advances; compaction runs (generation 2)
+    (0 until 2).foreach(b => SnapshotSink.commitStreamBatch(batch(b), out, b.toLong, NB))
+    val rep = SnapshotSink.compact(spark, out, nBuckets = NB)
+    assert(rep.generation === 2L)
+    val rowsAfterCompact = SnapshotSink.readBack(spark, out).count()
+
+    // foreachBatch hands the NEXT batch id = 2 — numerically the id range the
+    // compacted generation occupies under batchId*nBuckets addressing. The sidecar
+    // allocation must land it on a FRESH generation, not skip it as "committed".
+    val committed = SnapshotSink.commitStreamBatch(batch(2), out, 2L, NB)
+    assert(committed.nonEmpty,
+      "post-compaction micro-batch swallowed by the skip-verify — permanent loss")
+    assert(committed.forall(_ >= 3L * NB), "batch must land past the compacted generation")
+    assert(SnapshotSink.readBack(spark, out).count()
+      === rowsAfterCompact + batch(2).count())
+    // re-delivery of the same batch id is still idempotent (sidecar lookup)
+    assert(SnapshotSink.commitStreamBatch(batch(2), out, 2L, NB).isEmpty)
+  }
+
+  test("run() refuses to delete a failed-verify composite bucket it cannot heal") {
+    val out = tmpDir("noncanon")
+    commitAsStream(out, 2)
+    // corrupt one of batch 1's committed files (composite id >= NB)
+    val victim = SnapshotSink.readManifest(spark, out)
+      .filter(e => e.bucket >= NB && e.files.nonEmpty).head
+    val f = Paths.get(out, "data", s"bucket=${victim.bucket}", victim.files.head)
+    Files.write(f, Array.fill[Byte](8)(0x5a))
+    val bytesBefore = Files.size(f)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotSink.run(Interleave.materializedDocsBucketed(spark, sfDir, NB), out,
+        nBuckets = NB)
+    }
+    assert(e.getMessage.contains("non-canonical"))
+    // nothing was deleted: the (corrupt) file is still there for re-delivery to fix
+    assert(Files.exists(f) && Files.size(f) === bytesBefore)
+  }
+
   test("compact is a no-op on canonical manifests (batch snapshots, repeat calls)") {
     val out = tmpDir("noop")
     SnapshotSink.run(Interleave.docs(spark, sfDir), out, nBuckets = NB)

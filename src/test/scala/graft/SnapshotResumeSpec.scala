@@ -275,6 +275,16 @@ class SnapshotResumeSpec extends AnyFunSuite {
       SnapshotSink.run(wrongFn, tmpDir("wrongfn1w"), nBuckets = NB, waveSize = NB)
     }
     assert(e3.getMessage.contains("disagrees with bucketOf"))
+
+    // NULL buckets: NULL < 0 is NULL, so a bare range filter would let these
+    // through — and they'd match no wave's isin filter (silent loss)
+    val withNulls = docs.withColumn("bucket",
+      when(pmod(hash(col("doc_id")), lit(7)) === 0, lit(null))
+        .otherwise(SnapshotSink.bucketOf(col("doc_id"), NB)))
+    val e4 = intercept[IllegalArgumentException] {
+      SnapshotSink.run(withNulls, tmpDir("nullbucket"), nBuckets = NB, waveSize = NB)
+    }
+    assert(e4.getMessage.contains("NULLs or values outside"))
   }
 
   test("resume refuses to overwrite a non-empty committed bucket with ZERO staged rows") {
