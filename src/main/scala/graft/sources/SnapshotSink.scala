@@ -62,7 +62,7 @@ object SnapshotSink {
     * ever sees 32-char digests). `content_hash` is the md5 over the sorted
     * (name:size:md5) lines — one digest summarizing the bucket.
     *
-    * `bucket` is a LONG: streaming commits composite ids `batchId * nBuckets + b`
+    * `bucket` is a LONG: streaming commits composite ids `generation * nBuckets + b`
     * ([[commitStreamBatch]]), and an Int id would cap a stream's lifetime at ~2^28
     * batches before overflowing mid-flight (ADVICE r3). Batch ids stay tiny
     * (0 until nBuckets); JSON is untyped so old manifests read back unchanged. */
@@ -603,10 +603,13 @@ object SnapshotSink {
    * Streaming entry point: commit ONE micro-batch of already-extracted flat spans
    * through the SAME wave-commit protocol as the batch sink (staging write ->
    * re-read metrics -> atomic per-bucket publish -> distributed hash -> manifest
-   * republish). Manifest/bucket ids are composited as `batchId * nBuckets + bucket`
-   * (Long arithmetic — no lifetime cap from Int overflow) so batches never collide;
-   * a RE-DELIVERED batchId (foreachBatch replays the last uncommitted batch after a
-   * crash) finds its ids already committed and verifying, and skips them — the
+   * republish). Manifest/bucket ids are `allocatedGeneration * nBuckets + bucket`
+   * (Long arithmetic — no lifetime cap from Int overflow): the generation comes
+   * from the sidecar transaction log, NOT batchId itself, so batches and
+   * compaction rewrites share one strictly-increasing id space (generation ==
+   * batchId for a fresh sequential stream); a RE-DELIVERED batchId (foreachBatch
+   * replays the last uncommitted batch after a crash) resolves to its recorded
+   * allocation, finds its ids already committed and verifying, and skips them — the
    * streaming form of resume's committed-bucket skip (StreamingExtractSpec). The
    * skip check runs the SAME two verification tiers as the batch [[run]]:
    * names+sizes metadata, then (deepVerify=true, the default) the distributed
