@@ -350,6 +350,8 @@ object SparkEntry {
       Some(derivedDir(dir, "siggroup", Dedup.SigFormatVersion)))),
     "neardup_incremental" -> ((s, dir) => Dedup.neardupIncremental(
       documents(s, dir), Dedup.mutantsOnly(documents(s, dir)), sigBaseDirFor(dir))),
+    "dedup_apply" -> ((s, dir) => Dedup.dedupApply(documents(s, dir),
+      Some(derivedDir(dir, "siggroup", Dedup.SigFormatVersion)))),
     // ---- reference API surface: languages, capabilities, lang-dim join -----------
     "lang_codes" -> ((s, _) => graft.sources.Languages.dim(s)
       .orderBy(col("lang_code"))),
@@ -446,6 +448,7 @@ object SparkEntry {
     "simhash_pairs" -> OracleSqlDedup.simhashPairs,
     "dedup_groups" -> OracleSqlDedup.dedupGroups,
     "neardup_incremental" -> OracleSqlDedup.neardupIncremental,
+    "dedup_apply" -> OracleSqlDedup.dedupApply,
     "lang_codes" -> OracleSqlRef.langCodes,
     "capabilities" -> OracleSqlRef.capabilities,
     "lang_join" -> OracleSqlRef.langJoin,

@@ -171,7 +171,9 @@ object OracleSqlDedup {
     * closure (edges are symmetric, so min-reachable-vertex = component min — the
     * same rep Dedup.connectedComponents converges to). Only non-trivial groups
     * (size >= 2) are emitted. */
-  val dedupGroups: String =
+  /** Shared closure chain for dedupGroups / dedupApply: ends at `comp`
+    * (doc_id -> rep_id) and `gs` (rep_id -> group_size). */
+  private val groupsCtes: String =
     s"""WITH RECURSIVE $groupCorpusCte,
        |${minhashChainOver("gcorpus")},
        |$nearPairsChain,
@@ -194,11 +196,27 @@ object OracleSqlDedup {
        |  SELECT e.dst AS v, reach.r FROM reach JOIN edges e ON e.src = reach.v
        |),
        |comp AS (SELECT v AS doc_id, min(r) AS rep_id FROM reach GROUP BY v),
-       |gs AS (SELECT rep_id, CAST(count(*) AS BIGINT) AS group_size FROM comp GROUP BY rep_id)
+       |gs AS (SELECT rep_id, CAST(count(*) AS BIGINT) AS group_size FROM comp GROUP BY rep_id)""".stripMargin
+
+  val dedupGroups: String =
+    s"""$groupsCtes
        |SELECT c.doc_id, c.rep_id, g.group_size,
        |       CAST(CASE WHEN c.doc_id = c.rep_id THEN 1 ELSE 0 END AS INT) AS is_canonical
        |FROM comp c JOIN gs g ON g.rep_id = c.rep_id
        |WHERE g.group_size >= 2
+       |ORDER BY doc_id""".stripMargin
+
+  /** Mirror of Dedup.dedupApply: the group corpus minus every non-canonical group
+    * member — membership AND content identity (md5) under one hash. */
+  val dedupApply: String =
+    s"""$groupsCtes,
+       |losers AS (
+       |  SELECT c.doc_id FROM comp c JOIN gs g ON g.rep_id = c.rep_id
+       |  WHERE g.group_size >= 2 AND c.doc_id <> c.rep_id
+       |)
+       |SELECT g.doc_id, md5(g.text) AS content_hash
+       |FROM gcorpus g
+       |WHERE g.doc_id NOT IN (SELECT doc_id FROM losers)
        |ORDER BY doc_id""".stripMargin
 
   val minhashBands: String =

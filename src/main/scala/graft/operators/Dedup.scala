@@ -367,6 +367,21 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /**
+   * APPLY the dedup decision: the corpus with every non-canonical group member
+   * dropped — what actually ships to training. One anti-join against the
+   * (tiny, O(dups)) non-canonical id set from [[dedupGroups]]; emitted with the
+   * content hash so the gate pins both membership AND content identity.
+   */
+  def dedupApply(documents: DataFrame, sigDir: Option[String] = None): DataFrame = {
+    val losers = dedupGroups(documents, sigDir)
+      .filter(col("is_canonical") === 0).select(col("doc_id"))
+    withGroupCorpus(documents)
+      .join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .orderBy(col("doc_id"))
+  }
+
   /** 64-bit SimHash per document via the codegen'd [[graft.functions.SimHash64]]
     * Catalyst expression (no UDF, no shuffle). 64 bits, not 32: a 32-bit signature
     * birthday-collides far below 10^9 docs (VERDICT r1). */

@@ -67,6 +67,28 @@ class PackingSpec extends AnyFunSuite {
     assert(idOrder !== shufOrder)
   }
 
+  test("property: random sparse corpora pack identically to the sequential reference") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // fixed-seed sampling (scalatest+scalacheck bridge not in the offline cache)
+    val genCorpus: Gen[List[(Long, Int)]] = Gen.listOfN(60, for {
+      id <- Gen.chooseNum(0L, 5000000L)
+      nTok <- Gen.chooseNum(1, 40)
+    } yield (id, nTok))
+    (1 to 8).foreach { i =>
+      val corpus = genCorpus(Gen.Parameters.default, Seed(i.toLong)).get
+        .distinctBy(_._1)
+      val docs = corpus.map { case (id, n) =>
+        (id, Seq.fill(n)("w").mkString(" "))
+      }.toDF("doc_id", "text")
+      val cap = 1L + (i % 5) * 7L // vary capacity too
+      val expected = reference(corpus.map { case (id, n) => (id, n.toLong) }, cap)
+      assert(collectPack(Packing.seqPack(docs, capacity = cap, nBuckets = 5))
+        === expected, s"seed $i")
+    }
+  }
+
   test("pack plan: one bucket-hash exchange feeds the window; text never scanned twice") {
     // the two-level scan's whole point is that the window partitions by bucket —
     // a plan that fell back to a global Window.orderBy would show a single-partition

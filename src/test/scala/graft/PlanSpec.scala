@@ -32,7 +32,8 @@ class PlanSpec extends AnyFunSuite {
   private val buildExecutes = Set(
     "snapshot_lineage", "snapshot_resume", "snapshot_compact",
     "snapshot_timetravel", "snapshot_changes", "snapshot_takedown",
-    "neardup_pairs", "top_terms", "dedup_groups", "neardup_incremental")
+    "neardup_pairs", "top_terms", "dedup_groups", "dedup_apply",
+    "neardup_incremental")
 
   private val planChecked =
     SparkEntry.queries.keys.filterNot(buildExecutes).toSeq.sorted
