@@ -128,6 +128,21 @@ class StreamingExtractSpec extends AnyFunSuite {
     assert(manifest.map(_.bucket / 8).distinct.size === 1)
     assert(canon(SnapshotSink.readBack(spark, out)) === batchTotal)
     assert(canon(SnapshotSink.readCommitted(spark, out)) === batchTotal)
+
+    // a THIRD drain after the compaction: the stream's next batchId is numerically
+    // the compacted generation, which under batchId-addressing was silently
+    // swallowed by the skip-verify (permanent loss). Through the checkpointed
+    // streaming entry the sidecar allocation must land it on a fresh generation.
+    val d = graft.sources.Interleave.DocIdDigits
+    val extra = docs.filter(key < 100)
+      .withColumn("doc_id", format_string(s"doc-%0${d}d", key + 600000))
+    extra.repartition(2).write.mode("append").parquet(table)
+    StreamingExtract.drainOnceCommitted(spark, table, out, ckpt, compactThreshold = 999)
+    val m3 = SnapshotSink.readManifest(spark, out)
+    assert(m3.size === 16, "post-compaction micro-batch swallowed")
+    assert(m3.map(_.bucket).max >= 3L * 8, "batch must land past the compacted generation")
+    assert(canon(SnapshotSink.readCommitted(spark, out))
+      === (batchTotal ++ canon(ExtractPipeline.extractFlat(extra))).sorted)
   }
 
   test("watermarked windowed metrics finalize closed windows and match batch counts") {
