@@ -45,6 +45,12 @@ object Interleave {
         // plan; explode-then-repartition would funnel all K copies through the source
         // file's single split first.)
         val n = 10000000L
+        // the stride is an enforced invariant, not an assumption: a base corpus
+        // with ids >= n would alias replica id spaces — two unrelated documents
+        // sharing one doc_id, spans of both merged by re-assembly, silently
+        val maxId = base.agg(max(col("doc_id"))).head.getLong(0)
+        require(maxId < n,
+          s"replicate > 1 needs base doc_ids < $n (replica stride); found $maxId")
         spark.range(0, replicate, 1, spark.sparkContext.defaultParallelism * 2)
           .toDF("r")
           .crossJoin(broadcast(base))

@@ -203,17 +203,22 @@ object SnapshotSink {
     // once in the manifest (canonical — trivially true for fresh/batch manifests,
     // where id == base, and true by construction after compaction), resume works per
     // BASE and re-commits an invalidated bucket under its EXISTING manifest id, so
-    // compaction never breaks the heal-from-source path. Non-canonical manifests
-    // (a mid-flight stream with several batches per base) keep the legacy id-space
-    // behavior: ids 0..nBuckets-1 only.
+    // compaction never breaks the heal-from-source path. On a NON-canonical manifest
+    // (a mid-flight stream with several generations per base) run() extracts
+    // NOTHING: with multiple generations live, "base bucket b is missing" cannot be
+    // distinguished from "batch for b hasn't arrived yet", and committing a fresh
+    // extraction at the base ids would DUPLICATE every streamed row the moment both
+    // are read back. Verify-only + loud invalid refusal (above) is the safe
+    // contract; healing composite ids belongs to stream re-delivery / compact().
     val canonical = existing.map(_.bucket % nBuckets).distinct.size == existing.size
-    val idOfBase: Long => Long =
-      if (canonical) {
-        val m = existing.map(e => (e.bucket % nBuckets) -> e.bucket).toMap
-        b => m.getOrElse(b, b)
-      } else identity
+    val idOfBase: Long => Long = {
+      val m = existing.map(e => (e.bucket % nBuckets) -> e.bucket).toMap
+      b => m.getOrElse(b, b)
+    }
     val validIds = valid.map(_.bucket).toSet
-    val todo = (0L until nBuckets).filterNot(b => validIds(idOfBase(b)))
+    val todo =
+      if (canonical) (0L until nBuckets).filterNot(b => validIds(idOfBase(b)))
+      else Seq.empty[Long]
 
     val processed = Seq.newBuilder[Long]
     var totalRows = 0L
@@ -279,9 +284,23 @@ object SnapshotSink {
     val dataPath = Paths.get(outDir).resolve("data")
     val files = readManifest(spark, outDir).flatMap(e =>
       e.files.map(f => bucketDir(Paths.get(outDir), e.bucket).resolve(f).toString))
-    if (files.isEmpty) readBack(spark, outDir).limit(0)
+    if (files.isEmpty) emptyCommitted(spark, outDir)
     else spark.read.option("basePath", dataPath.toString).parquet(files: _*)
   }
+
+  /** Empty frame in the committed schema. When EVERY bucket is empty there is no
+    * parquet file to infer from — surface a precise error instead of Spark's
+    * opaque schema-inference failure (a snapshot whose data never had a single row
+    * carries no schema; callers must get it from the producing pipeline). */
+  private def emptyCommitted(spark: SparkSession, outDir: String): DataFrame =
+    try readBack(spark, outDir).limit(0)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalStateException(
+          s"snapshot at $outDir has a valid manifest but zero data files in every " +
+            "bucket — an all-empty snapshot carries no schema to read back; take " +
+            "the schema from the producing pipeline instead", e)
+    }
 
   /** Parse the manifest (empty if none exists yet). Read through Spark's JSON source
     * with the case-class schema — no extra JSON dependency. */
@@ -387,7 +406,7 @@ object SnapshotSink {
         "it references were reclaimed (compaction GC / vacuum / bucket invalidation " +
         "— the expireSnapshots analogue); time travel reaches only versions whose " +
         s"files are retained. First missing: ${missing.head}")
-    if (files.isEmpty) readBack(spark, outDir).limit(0)
+    if (files.isEmpty) emptyCommitted(spark, outDir)
     else spark.read.option("basePath", out.resolve("data").toString)
       .parquet(files.map(_.toString): _*)
   }
@@ -510,7 +529,7 @@ object SnapshotSink {
       s"incremental read $fromV -> $toV is EXPIRED: ${missing.size} of " +
         s"${files.size} data files were reclaimed. First missing: " +
         missing.headOption.getOrElse("-"))
-    if (files.isEmpty) readBack(spark, outDir).limit(0)
+    if (files.isEmpty) emptyCommitted(spark, outDir)
     else spark.read.option("basePath", out.resolve("data").toString)
       .parquet(files.map(_.toString): _*)
   }
@@ -579,17 +598,14 @@ object SnapshotSink {
       val matches = cur.filter(col("doc_id").isInCollection(targets)).count()
       if (matches > 0) {
         val t0 = System.nanoTime()
+        // NULL-id bystanders survive (NOT(NULL IN ...) is NULL — a bare filter
+        // would drop them from the rewrite; same guard as TableSnapshot.deleteIds)
         val kept = cur
-          .filter(!col("doc_id").isInCollection(targets))
+          .filter(col("doc_id").isNull || !col("doc_id").isInCollection(targets))
           .withColumn("bucket", lit(b))
-        val spanCols = Seq("kind", "ok", "error", "text", "n_words", "conf_sum")
-        val layout =
-          if (kept.columns.contains("doc_id") && kept.columns.contains("offset"))
-            Seq("bucket", "doc_id", "offset")
-          else "bucket" +: kept.columns.find(_ != "bucket").toSeq
         val (m2, _) = commitWaveFlat(spark, out, kept, Seq(b),
-          manifest.filterNot(_.bucket == b), t0, io = io, layoutCols = layout,
-          spanMetrics = spanCols.forall(kept.columns.contains))
+          manifest.filterNot(_.bucket == b), t0, io = io,
+          layoutCols = rewriteLayout(kept), spanMetrics = hasSpanMetrics(kept))
         manifest = m2
         deleted += matches
         rewritten += b
@@ -731,11 +747,15 @@ object SnapshotSink {
       val (newManifest, waveRows) =
         if (srcDirs.isEmpty) {
           // every source bucket in this wave is EMPTY (a legal committed state) —
-          // nothing to stage or read; publish empty merged directories and swap
+          // nothing to stage or read; publish empty merged directories THROUGH the
+          // CommitIo seam (raw local mkdirs would be invisible to a non-POSIX store)
           targetIds.foreach { b =>
+            val staged = out.resolve("staging").resolve(s"bucket=$b")
+            deleteRecursively(staged)
+            Files.createDirectories(staged)
             val dst = bucketDir(out, b)
             deleteRecursively(dst)
-            Files.createDirectories(dst)
+            io.publishDir(staged, dst)
           }
           val wallMs = ((System.nanoTime() - t0) / 1e6).toLong
           val entries = targetIds.map(b => ManifestEntry(
@@ -758,14 +778,9 @@ object SnapshotSink {
           val expectNonEmpty = baseWave
             .filter(b => byBase(b).map(_.rows).sum > 0)
             .map(gen * nBuckets + _).toSet
-          val spanCols = Seq("kind", "ok", "error", "text", "n_words", "conf_sum")
-          val layout =
-            if (merged.columns.contains("doc_id") && merged.columns.contains("offset"))
-              Seq("bucket", "doc_id", "offset")
-            else "bucket" +: merged.columns.find(_ != "bucket").toSeq
           commitWaveFlat(spark, out, merged, targetIds, manifestLess, t0,
-            expectNonEmpty = expectNonEmpty, io = io, layoutCols = layout,
-            spanMetrics = spanCols.forall(merged.columns.contains))
+            expectNonEmpty = expectNonEmpty, io = io,
+            layoutCols = rewriteLayout(merged), spanMetrics = hasSpanMetrics(merged))
         }
       // reconcile BEFORE the GC: if the rewrite lost rows, the merged generation is
       // already live (manifest swapped) but every source byte is still on disk
@@ -917,14 +932,29 @@ object SnapshotSink {
         "the snapshot; delete the manifest entry to force a rebuild)")
     val wallMs = ((System.nanoTime() - t0) / 1e6).toLong
 
-    // per-bucket publish + manifest republish, through the CommitIo seam
+    // per-bucket publish + manifest republish, through the CommitIo seam. For an
+    // IN-PLACE rewrite (heal, deleteDocs/deleteIds, compact re-key) the live
+    // destination is first MOVED ASIDE to a `.replaced` sibling, not deleted: a
+    // crash between the move and the publish then leaves the pre-image on disk for
+    // recovery instead of neither version (POSIX offers no atomic directory swap —
+    // the manifest republish below is the real commit point; on object stores the
+    // metadata-pointer swap IS the whole story, see [[CommitIo]]). The trash dir is
+    // removed after a successful publish, and [[vacuum]] sweeps any crash leftovers.
     wave.foreach { b =>
       val src = staging.resolve(s"bucket=$b")
       val dst = dataDir.resolve(s"bucket=$b")
-      deleteRecursively(dst)
+      // outside data/: partition discovery (readBack) must never see the pre-image
+      val trash = dataDir.resolveSibling("trash").resolve(s"bucket=$b")
+      if (Files.exists(dst)) {
+        deleteRecursively(trash)
+        Files.createDirectories(trash.getParent)
+        Files.move(dst, trash)
+      }
       if (!Files.exists(src)) Files.createDirectories(src) // empty bucket
       io.publishDir(src, dst)
+      deleteRecursively(trash)
     }
+    deleteRecursively(dataDir.resolveSibling("trash"))
     // per-file (name, size, md5) for the WHOLE wave in one distributed job —
     // executors hash, the driver records digests only (VERDICT r1: no driver-side
     // Files.readAllBytes, and O(1) jobs per wave, not O(buckets))
@@ -1014,11 +1044,40 @@ object SnapshotSink {
     try batchedFileStats(spark, dirs)
     catch {
       case _: Exception =>
-        dirs.flatMap { d =>
-          try batchedFileStats(spark, Seq(d)).headOption
-          catch { case _: Exception => None }
-        }.toMap
+        // Per-directory isolation, with one retry per directory: a transient
+        // executor/FS hiccup must not masquerade as corruption — missing stats
+        // mean failed-verify, which DELETES and re-extracts the bucket.
+        def oneDir(d: Path): Option[(String, Seq[(String, Long, String)])] = {
+          def attempt() = batchedFileStats(spark, Seq(d)).headOption
+          try attempt()
+          catch {
+            case _: Exception =>
+              try attempt() catch { case _: Exception => None }
+          }
+        }
+        val perDir = dirs.map(d => d -> oneDir(d))
+        val expected = dirs.count(listDataFiles(_).nonEmpty)
+        val got = perDir.count(_._2.nonEmpty)
+        // every non-empty directory failing twice is an infrastructure outage, not
+        // per-bucket corruption — abort LOUDLY rather than silently invalidating
+        // (and re-extracting) the entire committed snapshot
+        require(expected <= 1 || got > 0,
+          s"deep verify failed for every one of $expected non-empty bucket " +
+            "directories (twice each) — treating this as an infrastructure " +
+            "failure and aborting, not as corruption of the whole snapshot")
+        perDir.flatMap(_._2).toMap
     }
+
+  /** Range layout + metrics capability for a REWRITE of committed rows (deleteDocs,
+    * deleteIds, compact re-key) — shared so the three rewrite sites cannot drift. */
+  private[sources] def rewriteLayout(df: DataFrame): Seq[String] =
+    if (df.columns.contains("doc_id") && df.columns.contains("offset"))
+      Seq("bucket", "doc_id", "offset")
+    else "bucket" +: df.columns.find(_ != "bucket").toSeq
+
+  private[sources] def hasSpanMetrics(df: DataFrame): Boolean =
+    Seq("kind", "ok", "error", "text", "n_words", "conf_sum")
+      .forall(df.columns.contains)
 
   /** md5 over the sorted "name:size:md5" lines — one digest per bucket. */
   private def combinedHash(stats: Seq[(String, Long, String)]): String = {

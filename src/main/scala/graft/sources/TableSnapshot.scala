@@ -137,9 +137,7 @@ object TableSnapshot {
           .withColumn("bucket", lit(b))
         val (m2, _) = SnapshotSink.commitWaveFlat(
           spark, out, kept, Seq(b), manifest.filterNot(_.bucket == b), t0, io = io,
-          layoutCols = Seq("bucket") ++ kept.columns.find(c =>
-            c != "bucket").toSeq,
-          spanMetrics = false)
+          layoutCols = SnapshotSink.rewriteLayout(kept), spanMetrics = false)
         manifest = m2
         deleted += matches
         rewritten += b
