@@ -469,7 +469,9 @@ object Scaling {
           "flat" -> "scan -> posexplode -> classify/OCR (narrow, no shuffle)",
           "sorted" -> "flat + sort-based re-assembly (the one shuffle)",
           "full" -> "flat + skew-routed re-assembly (headline job)",
-          "full2x" -> "flat + UNROUTED re-assembly (differential: skew-routing gain)")
+          "full2x" -> ("flat + COMPOSED re-assembly (same skew routing as full; " +
+            "differential vs full: the composed form's double extraction cost — " +
+            "NOT the routing gain)"))
         val rows = byPhase.map { case (ph, rs) =>
           val effs = rs
             .map(l => (field(l, "secs_lo") / field(l, "secs_hi")) / (hi.toDouble / lo))

@@ -216,11 +216,17 @@ object Curation {
    * composing lazily here keeps the gate honest about the pure dataflow.
    */
   def curatePipeline(documents: DataFrame): DataFrame = {
+    // checkpointed stage islands: the totals collect, seqPack's max/offsets folds,
+    // and the final window would otherwise each re-run the upstream filter scans
+    // (~3 redundant corpus passes); production materializes stages through the
+    // snapshot protocol instead
     val pass = documents.join(
       qualityFilter(documents).filter(col("kept") === 1).select(col("doc_id")),
       Seq("doc_id"), "left_semi")
+      .localCheckpoint(eager = false)
     val mixed = documents.join(
       tokenBudgetMix(pass).select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .localCheckpoint(eager = false)
     Packing.seqPack(mixed)
   }
 
@@ -241,16 +247,13 @@ object Curation {
   /** Per-document verdict: (doc_id, stage, kept). Shuffle-free scan; the same
     * token-array pass computes all three metrics. */
   def qualityFilter(documents: DataFrame): DataFrame = {
-    val t = split(col("text"), " ")
-    val nTok = size(t).cast("long")
-    val nDist = size(array_distinct(t)).cast("long")
-    val nStop = size(filter(t, x => x.isin(TextAnalysis.Stopwords: _*))).cast("long")
-    val richness = floor(lit(1000000.0) * nDist / nTok).cast("long")
-    val stopRatio = floor(lit(1000000.0) * nStop / nTok).cast("long")
-    val stage = when(nTok < MinTokens, FunnelStages(0))
-      .when(richness < MinRichnessE6, FunnelStages(1))
-      .when(stopRatio > MaxStopRatioE6, FunnelStages(2))
-      .when(nStop === 0L, FunnelStages(3))
+    // the SAME metric expressions the published quality table uses — single-sourced
+    // in TextAnalysis.qualityMetrics so thresholds and metrics cannot drift
+    val m = TextAnalysis.qualityMetrics(col("text"))
+    val stage = when(m.nTok < MinTokens, FunnelStages(0))
+      .when(m.richnessE6 < MinRichnessE6, FunnelStages(1))
+      .when(m.stopRatioE6 > MaxStopRatioE6, FunnelStages(2))
+      .when(m.nStop === 0L, FunnelStages(3))
       .otherwise(FunnelStages(4))
     documents
       .select(col("doc_id"), stage.as("stage"))

@@ -101,7 +101,23 @@ object ExtractPipeline {
         lit(0).as("n_words"),
         lit(0.0).as("conf_sum"))
 
-    mediaOut.unionByName(textOut)
+    // ---- unknown-kind branch: contract parity with the golden oracle -------------
+    // Oracle.extract maps any kind other than text/image to an EMPTY error span
+    // ("unknown span kind: ..."), never silent omission — silently dropping the
+    // span would also break the n_doc_spans re-assembly invariant. Unreachable
+    // with the current synthesizer (two kinds); real corpora grow kinds.
+    val unknownOut = explodedMedia
+      .filter(col("kind") =!= "text" && col("kind") =!= "image")
+      .select(col("doc_id"), col("lang"), col("n_doc_spans"), col("offset"),
+        col("kind"),
+        lit("").as("text"),
+        col("media_ref"),
+        lit(false).as("ok"),
+        concat(lit("unknown span kind: "), col("kind")).as("error"),
+        lit(0).as("n_words"),
+        lit(0.0).as("conf_sum"))
+
+    mediaOut.unionByName(textOut).unionByName(unknownOut)
   }
 
   /** OCR one media task. Decode runs BEFORE the engine-goodness check, mirroring

@@ -159,15 +159,19 @@ object StandardMediaDecoder extends MediaDecoder {
  */
 object EnginePool {
   private val pool = new ConcurrentHashMap[(EngineConfig, String), DeterministicOcrEngine]()
-  @volatile private var inits = 0L
+  // AtomicLong, not a @volatile var: first-inits for DIFFERENT keys run their
+  // computeIfAbsent mapping functions concurrently, and a read-modify-write on a
+  // volatile loses updates — undercounting would mask a per-row-init regression
+  // in the very assertion this counter exists for
+  private val inits = new java.util.concurrent.atomic.AtomicLong(0L)
 
   def get(lang: String, config: EngineConfig): DeterministicOcrEngine =
     pool.computeIfAbsent((config, lang), { kc: (EngineConfig, String) =>
-      inits += 1
+      inits.incrementAndGet()
       new DeterministicOcrEngine(kc._2, kc._1)
     })
 
   /** Observability hook for tests: proves init count stays O(langs), not O(rows). */
-  def initCount: Long = inits
-  def reset(): Unit = { pool.clear(); inits = 0L }
+  def initCount: Long = inits.get()
+  def reset(): Unit = { pool.clear(); inits.set(0L) }
 }

@@ -97,8 +97,11 @@ object Similarity {
     * broadcast build (the guard litDim used to carry, re-established post-refactor). */
   val BroadcastDimCap = 1000000
 
-  private def fanOut(base: DataFrame, dim: DataFrame,
+  private def fanOut(base: DataFrame, dim0: DataFrame,
       idName: String, qName: String, n2Name: String): DataFrame = {
+    // one evaluation of the dim plan serves the cap probe, the size guard, AND the
+    // broadcast build — without it each re-derives the dimension (quantize + norm)
+    val dim = dim0.localCheckpoint(eager = false)
     val rows = dim.take(LitDimCap + 1)
     if (rows.length <= LitDimCap) {
       val litCol = typedLit(

@@ -19,21 +19,37 @@ object TextAnalysis {
   /** Stopword set used by quality scoring (must stay in sync with OracleSql). */
   val Stopwords = Seq("the", "a", "of", "and", "key", "data")
 
+  /** The shared exact-integer quality metric columns over the standard whitespace
+    * tokenization — the single source for [[quality]] AND the curation funnel
+    * ([[Curation.qualityFilter]]): a tokenization or flooring change in one place
+    * must never silently desync the published metrics from the filter thresholds. */
+  final case class QualityMetrics(nTok: Column, nDist: Column, nStop: Column,
+      richnessE6: Column, stopRatioE6: Column)
+
+  def qualityMetrics(text: Column): QualityMetrics = {
+    val t = toks(text)
+    val nTok = size(t).cast("long")
+    val nDist = size(array_distinct(t)).cast("long")
+    val nStop = size(filter(t, x => x.isin(Stopwords: _*))).cast("long")
+    QualityMetrics(nTok, nDist, nStop,
+      floor(lit(1000000.0) * nDist / nTok).cast("long"),
+      floor(lit(1000000.0) * nStop / nTok).cast("long"))
+  }
+
   /** Per-document quality metrics: token counts, vocabulary richness, stopword ratio,
     * average token length. */
   def quality(documents: DataFrame): DataFrame = {
     val t = toks(col("text"))
-    val nTok = size(t).cast("long")
-    val nDist = size(array_distinct(t)).cast("long")
-    val nStop = size(filter(t, x => x.isin(Stopwords: _*))).cast("long")
+    val m = qualityMetrics(col("text"))
+    val (nTok, nDist) = (m.nTok, m.nDist)
     val tokChars = aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("long")
     documents.select(
       col("doc_id"),
       length(col("text")).cast("long").as("n_chars_m"),
       nTok.as("n_tokens"),
       nDist.as("n_distinct"),
-      floor(lit(1000000.0) * nDist / nTok).cast("long").as("richness_e6"),
-      floor(lit(1000000.0) * nStop / nTok).cast("long").as("stop_ratio_e6"),
+      m.richnessE6.as("richness_e6"),
+      m.stopRatioE6.as("stop_ratio_e6"),
       floor(lit(1000000.0) * tokChars / nTok).cast("long").as("avg_tok_len_e6")
     ).orderBy(col("doc_id"))
   }

@@ -49,8 +49,11 @@ private[streaming] final case class SessEvent(
  * still open in state. StreamingSessionsSpec asserts that equality against
  * [[graft.operators.Sessions.sessionize]] on the same drained input.
  *
- * Scale design: state per key is ONE fixed-size record (open session summary), not
- * buffered events — memory is O(active users), the watermark bounds state lifetime
+ * Scale design: state per key is ONE record (open session summary) whose only
+ * variable part is the distinct event-type set (bounded by the feed's type
+ * cardinality — the exact-n_types contract the batch rollup also carries; an
+ * unbounded-cardinality feed would swap it for an HLL count), never buffered
+ * events — memory is O(active users), the watermark bounds state lifetime
  * via timeouts, and the only shuffle is the groupByKey exchange on user_id (same key,
  * same single shuffle as the batch window). Within a micro-batch the group's events
  * are sorted by (ts_us, event_id) before folding, so file-arrival order inside a
@@ -113,10 +116,16 @@ object StreamingSessions {
           case s =>
             // clamp: an above-watermark event that still arrives out of order across
             // micro-batches must never move the session clock backwards (negative
-            // durations) — extend the envelope instead (ADVICE r2)
+            // durations) — extend the envelope instead (ADVICE r2). Append-if-absent
+            // keeps the update O(|distinct types|) per event (a full .distinct
+            // rebuild was quadratic per session); the set itself is bounded by the
+            // feed's type cardinality — same bound the batch rollup's collect_set
+            // carries — and a cardinality-unbounded feed would cap it (HLL count)
+            // at the cost of exact n_types.
             cur = s.copy(start_us = math.min(s.start_us, e.ts_us),
               last_us = math.max(s.last_us, e.ts_us), n_events = s.n_events + 1,
-              types = (s.types :+ e.event_type).distinct)
+              types = if (s.types.contains(e.event_type)) s.types
+                else s.types :+ e.event_type)
         }
       }
       if (cur == null) return closed.result().iterator // every event was late; no state

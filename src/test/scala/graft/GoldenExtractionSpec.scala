@@ -167,4 +167,30 @@ class GoldenExtractionSpec extends AnyFunSuite {
     assert(out.spans.head.text === "")
     assert(out.error === "engine not initialized: en")
   }
+
+  test("unknown span kinds surface as error spans on BOTH the pipeline and the oracle") {
+    import spark.implicits._
+    // a kind the engine does not know must produce an empty error span, never a
+    // silent omission (the oracle's contract; a dropped span would also break the
+    // n_doc_spans re-assembly invariant)
+    val doc = Doc("doc-0000000000001", "en", Seq(
+      Span("text", "<p>hello world</p>", null, 0),
+      Span("table", null, "m-1-0", 1)))
+    val golden = Oracle.extract(doc)
+    assert(!golden.ok && golden.error === "unknown span kind: table")
+
+    val got = ExtractPipeline.extractFlat(Seq(doc).toDS().toDF())
+      .orderBy(col("offset"))
+      .select(col("offset"), col("kind"), col("text"), col("media_ref"),
+        col("ok"), col("error"))
+      .collect()
+    assert(got.length === golden.spans.length)
+    golden.spans.zip(got).foreach { case (g, r) =>
+      assert((r.getInt(0), r.getString(1), r.getString(2), r.getString(3))
+        === (g.offset, g.kind, g.text, g.media_ref))
+    }
+    val unknownRow = got.find(_.getString(1) === "table").get
+    assert(!unknownRow.getBoolean(4)
+      && unknownRow.getString(5) === "unknown span kind: table")
+  }
 }
