@@ -72,17 +72,20 @@ object HocrAltoOps {
   }
 
   /** Parse a non-negative decimal int at `pos`; returns (value, posAfter) packed as a
-    * long, or -1 if no digit at `pos`. */
+    * long, or -1 if no digit at `pos` OR the value overflows Int (a wrapped 32-bit
+    * accumulator would silently ACCEPT a wrong geometry value, where the contract —
+    * and the differential regex forms — reject the element). */
   private def parseInt(hay: Array[Byte], pos: Int): Long = {
     var i = pos
-    var v = 0
+    var v = 0L
     var any = false
     while (i < hay.length && hay(i) >= '0' && hay(i) <= '9') {
       v = v * 10 + (hay(i) - '0')
+      if (v > Int.MaxValue) return -1L
       any = true
       i += 1
     }
-    if (!any) -1L else (v.toLong << 32) | i.toLong
+    if (!any) -1L else (v << 32) | i.toLong
   }
 
   private def intVal(p: Long): Int = (p >>> 32).toInt

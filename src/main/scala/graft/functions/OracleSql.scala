@@ -19,8 +19,10 @@ package graft.functions
  */
 object OracleSql {
 
-  /** Engine model inventory — keep in sync with [[graft.operators.EngineConfig.default]]. */
-  val availableLangsSql = "('en','fr','de','es','ita','eng')"
+  /** Engine model inventory — interpolated FROM [[graft.operators.EngineConfig.default]]
+    * (sorted for a stable SQL string), so the inventory cannot drift from the engine. */
+  val availableLangsSql: String = graft.operators.EngineConfig.default
+    .availableLangs.toSeq.sorted.map(l => s"'$l'").mkString("(", ",", ")")
 
   /** Snapshot bucket count, single-sourced from the sink so the `% N` in every
     * bucket-keyed oracle cannot desynchronize from the Spark side (ADVICE r3). */
@@ -186,12 +188,12 @@ object OracleSql {
        |  FROM extracted GROUP BY 1
        |)
        |SELECT v.version,
-       |       CAST($SnapshotBuckets / 2 * v.version AS INT) AS n_buckets,
+       |       CAST(${SnapshotBuckets / 2} * v.version AS INT) AS n_buckets,
        |       CAST(coalesce(sum(b.rows_), 0) AS BIGINT) AS rows_,
        |       CAST(coalesce(sum(b.rows_), 0) AS BIGINT) AS rows_read,
        |       CAST(coalesce(sum(b.n_err), 0) AS BIGINT) AS n_err
        |FROM (VALUES (1), (2)) AS v(version)
-       |LEFT JOIN per_bucket b ON b.bucket < $SnapshotBuckets / 2 * v.version
+       |LEFT JOIN per_bucket b ON b.bucket < ${SnapshotBuckets / 2} * v.version
        |GROUP BY v.version ORDER BY version""".stripMargin
 
   /** Mirror of SparkEntry.snapshotChanges: the incremental diff between history
@@ -204,7 +206,7 @@ object OracleSql {
        |       CAST(count(*) AS BIGINT) AS rows_,
        |       CAST(sum(CASE WHEN error IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_err
        |FROM extracted
-       |WHERE CAST(substr(doc_id, 5) AS BIGINT) % $SnapshotBuckets >= $SnapshotBuckets / 2
+       |WHERE CAST(substr(doc_id, 5) AS BIGINT) % $SnapshotBuckets >= ${SnapshotBuckets / 2}
        |GROUP BY 1 ORDER BY bucket""".stripMargin
 
   /** Takedown victim selector for `SparkEntry.snapshotTakedown`: documents whose

@@ -111,8 +111,8 @@ object OracleSqlCuration {
        |         CAST(floor(bt.budget_total * coalesce(s.share, CAST(0.0 AS DOUBLE))) AS BIGINT) AS b,
        |         CASE WHEN tot.t <= CAST(floor(bt.budget_total * coalesce(s.share, CAST(0.0 AS DOUBLE))) AS BIGINT)
        |              THEN NULL
-       |              ELSE printf('%08x', CAST(floor((CAST(CAST(floor(bt.budget_total * coalesce(s.share, CAST(0.0 AS DOUBLE))) AS BIGINT) AS DOUBLE)
-       |                   / tot.t) * 4294967296.0) AS BIGINT)) END AS thrhex
+       |              ELSE printf('%08x', CAST(least(floor((CAST(CAST(floor(bt.budget_total * coalesce(s.share, CAST(0.0 AS DOUBLE))) AS BIGINT) AS DOUBLE)
+       |                   / tot.t) * 4294967296.0), 4294967295.0) AS BIGINT)) END AS thrhex
        |  FROM tot LEFT JOIN shares s ON s.lang = tot.lang, bt
        |),
        |keyd AS (

@@ -32,8 +32,9 @@ object OracleSqlDedup {
        |       CASE WHEN row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1 THEN 1 ELSE 0 END AS is_dup
        |FROM corpus ORDER BY doc_id""".stripMargin
 
-  val textQuality: String =
-    """WITH tk AS (
+  val textQuality: String = {
+    val sw = graft.operators.TextAnalysis.Stopwords.map(w => s"'$w'").mkString(",")
+    s"""WITH tk AS (
       |  SELECT doc_id, length(text) AS lc, string_split(text, ' ') AS t FROM documents
       |)
       |SELECT doc_id,
@@ -41,20 +42,24 @@ object OracleSqlDedup {
       |       CAST(len(t) AS BIGINT) AS n_tokens,
       |       CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
       |       CAST(floor(1000000.0 * len(list_distinct(t)) / len(t)) AS BIGINT) AS richness_e6,
-      |       CAST(floor(1000000.0 * len(list_filter(t, x -> x IN ('the','a','of','and','key','data'))) / len(t)) AS BIGINT) AS stop_ratio_e6,
+      |       CAST(floor(1000000.0 * len(list_filter(t, x -> x IN ($sw))) / len(t)) AS BIGINT) AS stop_ratio_e6,
       |       CAST(floor(1000000.0 * CAST(list_aggregate(list_transform(t, x -> CAST(length(x) AS BIGINT)), 'sum') AS BIGINT) / len(t)) AS BIGINT) AS avg_tok_len_e6
       |FROM tk ORDER BY doc_id""".stripMargin
+  }
 
-  val langId: String =
-    """WITH tk AS (
+  val langId: String = {
+    // marker lists interpolated from TextAnalysis.LangMarkers — one source of truth
+    val mk = graft.operators.TextAnalysis.LangMarkers.toMap
+      .map { case (l, ws) => l -> ws.map(w => s"'$w'").mkString(",") }
+    s"""WITH tk AS (
       |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
       |),
       |sc AS (
       |  SELECT doc_id, lang,
-      |         CAST(len(list_filter(t, x -> x IN ('the','a','of','key','row'))) AS BIGINT) AS s_en,
-      |         CAST(len(list_filter(t, x -> x IN ('der','die','und','table'))) AS BIGINT) AS s_de,
-      |         CAST(len(list_filter(t, x -> x IN ('el','la','de','query'))) AS BIGINT) AS s_es,
-      |         CAST(len(list_filter(t, x -> x IN ('le','les','et','merge'))) AS BIGINT) AS s_fr
+      |         CAST(len(list_filter(t, x -> x IN (${mk("en")}))) AS BIGINT) AS s_en,
+      |         CAST(len(list_filter(t, x -> x IN (${mk("de")}))) AS BIGINT) AS s_de,
+      |         CAST(len(list_filter(t, x -> x IN (${mk("es")}))) AS BIGINT) AS s_es,
+      |         CAST(len(list_filter(t, x -> x IN (${mk("fr")}))) AS BIGINT) AS s_fr
       |  FROM tk
       |)
       |SELECT doc_id, lang, s_en, s_de, s_es, s_fr,
@@ -67,6 +72,7 @@ object OracleSqlDedup {
       |                       WHEN s_fr > s_en THEN 'fr'
       |                       ELSE 'en' END) = lang THEN 1 ELSE 0 END AS correct
       |FROM sc ORDER BY doc_id""".stripMargin
+  }
 
   val tokenStats: String =
     """WITH tk AS (
@@ -109,7 +115,10 @@ object OracleSqlDedup {
       |)""".stripMargin
 
   /** Minhash CTE chain (3-gram shingles, 8 perms, 4 bands) over the named corpus
-    * CTE. The chain ends at `bands`; `shq` stays visible for the verify stage. */
+    * CTE. The chain ends at `bandsc` — the OCCUPANCY-CAPPED bands (mirror of
+    * Dedup.dropOversized); candidate joins must read `bandsc`, never raw `bands`,
+    * or they bypass the cap. `shq` stays visible for the verify stage;
+    * minhash_bands reads raw `bands` deliberately (signatures are uncapped). */
   private def minhashChainOver(corpus: String): String = {
     val sigs = (0 until 8).map(p =>
       s"list_aggregate(list_transform(sh, s -> md5('$p|' || s)), 'min') AS mh$p").mkString(",\n         ")
@@ -166,13 +175,12 @@ object OracleSqlDedup {
       |  WHERE CAST(floor(1000000.0 * i.ni / (na.n + nb.n - i.ni)) AS BIGINT) >= 500000
       |)""".stripMargin
 
-  /** Mirror of Dedup.dedupGroups: exact star edges UNION verified near-dup pairs
-    * over the group corpus, then component reps via a recursive reachability
-    * closure (edges are symmetric, so min-reachable-vertex = component min — the
-    * same rep Dedup.connectedComponents converges to). Only non-trivial groups
-    * (size >= 2) are emitted. */
-  /** Shared closure chain for dedupGroups / dedupApply: ends at `comp`
-    * (doc_id -> rep_id) and `gs` (rep_id -> group_size). */
+  /** Shared closure chain for [[dedupGroups]] / [[dedupApply]]: exact star edges
+    * UNION verified near-dup pairs over the group corpus, then component reps via
+    * a recursive reachability closure (edges are symmetric, so
+    * min-reachable-vertex = component min — the same rep
+    * Dedup.connectedComponents converges to). Ends at `comp` (doc_id -> rep_id)
+    * and `gs` (rep_id -> group_size). */
   private val groupsCtes: String =
     s"""WITH RECURSIVE $groupCorpusCte,
        |${minhashChainOver("gcorpus")},

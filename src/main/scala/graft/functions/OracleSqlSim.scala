@@ -52,7 +52,7 @@ object OracleSqlSim {
 
   val annTopK: String =
     s"""$rawCtes,
-       |qs AS (SELECT vec_id AS query_id, q AS qq, n2 AS qn2 FROM vn WHERE vec_id % 100 = 0),
+       |qs AS (SELECT vec_id AS query_id, q AS qq, n2 AS qn2 FROM vn WHERE vec_id % ${graft.operators.Similarity.QueryMod} = 0),
        |scored AS (
        |  SELECT qs.query_id, vn.vec_id AS neighbor_id,
        |         ${cosE6(dot("qs.qq", "vn.q"), "qs.qn2", "vn.n2")} AS cos_e6
@@ -100,7 +100,7 @@ object OracleSqlSim {
     * mutant twins). */
   val embedNeardup: String =
     s"""$mutantCtes,
-       |vs AS (SELECT * FROM vn WHERE vec_id % 4 = 0)
+       |vs AS (SELECT * FROM vn WHERE vec_id % ${graft.operators.Similarity.AuditMod} = 0)
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |       ${cosE6(dot("a.q", "b.q"), "a.n2", "b.n2")} AS cos_e6
        |FROM vs a JOIN vs b ON a.vec_id < b.vec_id
@@ -109,7 +109,7 @@ object OracleSqlSim {
 
   val ivfTopK: String =
     s"""$rawCtes,
-       |cents AS (SELECT vec_id AS cent_id, q AS cq, n2 AS cn2 FROM vn WHERE vec_id % 200 = 0),
+       |cents AS (SELECT vec_id AS cent_id, q AS cq, n2 AS cn2 FROM vn WHERE vec_id % ${graft.operators.Similarity.CentroidMod} = 0),
        |asg0 AS (
        |  SELECT vn.vec_id, vn.q, vn.n2, c.cent_id,
        |         row_number() OVER (PARTITION BY vn.vec_id
@@ -119,7 +119,7 @@ object OracleSqlSim {
        |asg AS (SELECT vec_id, q, n2, cent_id AS cell FROM asg0 WHERE rn = 1),
        |probes AS (
        |  SELECT vec_id AS query_id, q AS qq, n2 AS qn2, cent_id AS cell
-       |  FROM asg0 WHERE vec_id % 100 = 0 AND rn <= 2
+       |  FROM asg0 WHERE vec_id % ${graft.operators.Similarity.QueryMod} = 0 AND rn <= ${graft.operators.Similarity.NprobeCells}
        |),
        |scored AS (
        |  SELECT p.query_id, a.vec_id AS neighbor_id,

@@ -39,6 +39,11 @@ object Similarity {
   val DefaultK = 5
   val NprobeCells = 2
 
+  /** Deterministic query / IVF-centroid selectors — single-sourced: the oracle SQL
+    * interpolates these, so a change here cannot silently desync the DuckDB side. */
+  val QueryMod = 100
+  val CentroidMod = 200
+
   /** Integer quantization: array<float> -> array<long>, exact on both engines. */
   def qvec(c: Column): Column =
     transform(c, x => floor(x.cast("double") * QuantScale).cast("long"))
@@ -127,7 +132,7 @@ object Similarity {
     * [[fanOut]] (literal dimension under the cap, broadcast above it); each scan row
     * becomes |Q| scored candidates without re-partitioning, then the bounded
     * [[TopKAgg]] reduces map-side to k rows per query. */
-  def annTopK(emb: DataFrame, k: Int = DefaultK, queryMod: Int = 100): DataFrame = {
+  def annTopK(emb: DataFrame, k: Int = DefaultK, queryMod: Int = QueryMod): DataFrame = {
     val v = quantized(emb)
     val queries = v.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id"), col("q"), col("n2"))
@@ -325,8 +330,8 @@ object Similarity {
    * Output (query_id, neighbor_id, rank, cos_e6) — recall vs [[annTopK]] is < 1 by
    * design; what is verified is the exact deterministic IVF semantics.
    */
-  def ivfTopK(emb: DataFrame, k: Int = DefaultK, queryMod: Int = 100,
-      centroidMod: Int = 200): DataFrame = {
+  def ivfTopK(emb: DataFrame, k: Int = DefaultK, queryMod: Int = QueryMod,
+      centroidMod: Int = CentroidMod): DataFrame = {
     val v = quantized(emb)
     // the IVF codebook fans out via fanOut: assignment and probing run inside
     // codegen (literal dim) or against one broadcast relation — no cross join, no

@@ -19,6 +19,14 @@ object TextAnalysis {
   /** Stopword set used by quality scoring (must stay in sync with OracleSql). */
   val Stopwords = Seq("the", "a", "of", "and", "key", "data")
 
+  /** Marker-word lists for the n-gram lang-ID heuristic — single-sourced: the
+    * oracle SQL interpolates these, so a tuning change cannot desync the gate. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "key", "row"),
+    "de" -> Seq("der", "die", "und", "table"),
+    "es" -> Seq("el", "la", "de", "query"),
+    "fr" -> Seq("le", "les", "et", "merge"))
+
   /** The shared exact-integer quality metric columns over the standard whitespace
     * tokenization — the single source for [[quality]] AND the curation funnel
     * ([[Curation.qualityFilter]]): a tokenization or flooring change in one place
@@ -61,10 +69,11 @@ object TextAnalysis {
     val t = toks(col("text"))
     def score(markers: Seq[String]): Column =
       size(filter(t, x => x.isin(markers: _*))).cast("long")
-    val sEn = score(Seq("the", "a", "of", "key", "row"))
-    val sDe = score(Seq("der", "die", "und", "table"))
-    val sEs = score(Seq("el", "la", "de", "query"))
-    val sFr = score(Seq("le", "les", "et", "merge"))
+    val m = LangMarkers.toMap
+    val sEn = score(m("en"))
+    val sDe = score(m("de"))
+    val sEs = score(m("es"))
+    val sFr = score(m("fr"))
     val pred = when(sDe > sEn && sDe >= sEs && sDe >= sFr, "de")
       .when(sEs > sEn && sEs >= sFr, "es")
       .when(sFr > sEn, "fr")
