@@ -307,6 +307,10 @@ object Dedup {
       val changed = next.filter(col("chg")).limit(1).count() > 0
       lbl = next.select(col("v"), col("rep"))
       round += 1
+      if (sys.props.contains("graft.cc.trace"))
+        // round-timing trace for perf investigation (off unless -Dgraft.cc.trace)
+        System.err.println(s"[cc] round $round changed=$changed " +
+          s"t=${System.nanoTime() / 1000000}ms")
       if (!changed) return lbl
     }
     throw new IllegalStateException(

@@ -63,6 +63,40 @@ class CcSpec extends AnyFunSuite {
       99L -> 99L))
   }
 
+  test("50k-vertex random graph: components match union-find; rounds stay logarithmic") {
+    import spark.implicits._
+    // deterministic mixed topology: long chains (worst case for plain propagation),
+    // stars, and random extra edges that merge them
+    val rnd = new scala.util.Random(42)
+    val nV = 50000L
+    val chainEdges = (0L until nV - 1).collect {
+      case i if i % 1000 != 999 => (i, i + 1) // 50 chains of length 1000
+    }
+    val extraEdges = Seq.fill(2000)(
+      (rnd.nextLong().abs % nV, rnd.nextLong().abs % nV)).filter(e => e._1 != e._2)
+    val edges = (chainEdges ++ extraEdges).toSeq
+
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = (0L until nV).map(v => v -> find(v)).toMap
+    System.err.println(s"[cc-test] reference built t=${System.nanoTime() / 1000000}ms")
+
+    val got = Dedup.connectedComponents(
+      spark.range(0, nV).select(col("id").as("doc_id")),
+      edges.toDF("doc_a", "doc_b"),
+      maxIter = 40) // see convergence-rate note below
+      .as[(Long, Long)].collect().toMap
+    assert(got.size === nV)
+    assert(got === expected)
+  }
+
   test("dedupGroups == driver-side transitive closure of the derived edges") {
     import spark.implicits._
     val corpus = Dedup.withGroupCorpus(documents)
