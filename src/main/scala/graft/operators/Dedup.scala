@@ -235,7 +235,7 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Max pointer-doubling rounds for [[connectedComponents]]: convergence takes
+  /** Max hook+jump rounds for [[connectedComponents]]: convergence takes
     * O(log2 diameter) rounds, so 40 covers any graph a 64-bit id space can hold;
     * hitting the limit throws rather than silently returning partial components. */
   val CcMaxIter = 40
@@ -245,15 +245,24 @@ object Dedup {
    * PAIRS into actionable dedup GROUPS (pick one canonical doc per component, drop
    * the rest). Returns (v, rep) where `rep` is the component's minimum vertex id.
    *
-   * Algorithm: min-label propagation fused with POINTER DOUBLING — each round every
-   * vertex takes the min rep over itself and its neighbors, then short-circuits
-   * rep <- rep(rep). Doubling halves the remaining pointer-chain depth each round,
-   * so a path graph of length L converges in O(log2 L) rounds instead of the O(L)
-   * of plain propagation (CcSpec asserts this on an injected 64-hop chain) — at
-   * 10^9 docs even an adversarial duplication chain finishes in ~30 rounds.
+   * Algorithm: Shiloach–Vishkin-style HOOKING fused with POINTER JUMPING. Each
+   * round (1) hooks: every edge (u,v) credits rep(u) as a candidate label for the
+   * ROOT rep(v) (and symmetrically), and each root takes the min candidate;
+   * (2) jumps: rep(v) <- rep(rep(v)) flattens every tree one level. Hooking onto
+   * the ROOT — not the endpoint — is what makes convergence logarithmic on REAL
+   * duplicate graphs: with per-vertex neighbor-min propagation (the naive form,
+   * which this replaced), two internally-converged trees joined by a single edge
+   * re-propagate the winning min at ONE hop per round, because every pointer in
+   * the losing tree still aims at its old root and doubling shortcuts only the
+   * already-labeled chain — O(diameter) rounds on chain-of-chains topologies
+   * (CcSpec's 50k mixed graph ran >40 rounds without converging). Hooked, the
+   * losing root learns the min directly and the next jump relabels its whole
+   * tree: the same graph converges in ~13 rounds, and the 64-hop chain still
+   * lands under the log2 budget.
    *
-   * Scale shape per round: one shuffle keyed on `v` (the propagate join and the min
-   * aggregation share it — exchange reuse) plus one join keyed on `rep`. The edge
+   * Scale shape per round: two joins keyed on the edge endpoints (attach rep(src),
+   * rep(dst)), a min-agg keyed on the root, the hook join keyed on `v`, and the
+   * jump join keyed on `rep`. The edge
    * list is materialized ONCE and re-read every round; per-round label tables are
    * checkpointed to truncate lineage (without it the plan doubles per round) —
    * RELIABLY when `sparkContext.setCheckpointDir` points at durable storage (the
@@ -269,10 +278,23 @@ object Dedup {
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
       maxIter: Int = CcMaxIter): DataFrame = {
     // reliable checkpoint when a durable dir is configured; local blocks otherwise
-    def materialize(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
+    def materialize(df: DataFrame): DataFrame = {
+      val spark = df.sparkSession
+      val ck =
+        if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
+        else df.localCheckpoint(eager = true)
+      // Dataset.checkpoint truncates LINEAGE but rewrites the replaced plan's
+      // ESTIMATED stats onto the new LogicalRDD (rewriteStatsAndConstraints). In
+      // an iterative self-join that estimate SQUARES every round (join sizeInBytes
+      // = product of children), so by round ~12 the driver spends minutes per
+      // round multiplying million-digit BigInts inside the stats visitor — the
+      // job looks hung long before any executor is busy. Rebuild from the
+      // materialized RDD so every round starts from a fresh leaf with default
+      // stats (the label/edge tables are shuffle-joined regardless, so losing
+      // the estimate costs nothing). Same shape GraphFrames uses for its
+      // iteration state.
+      spark.createDataFrame(ck.rdd, ck.schema)
+    }
     val sym = materialize(
       edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -281,29 +303,33 @@ object Dedup {
       vertices.select(col("doc_id").as("v"), col("doc_id").as("rep")))
     var round = 0
     while (round < maxIter) {
-      // propagate: rep(v) <- min(rep(v), min over neighbors u of rep(u)); the
+      // hook: label both ends of every directed edge with the CURRENT rep, then
+      // min-aggregate rep(src) keyed on the ROOT rep(dst) — sym carries both
+      // directions, so one aggregation covers both hooking orientations. The
       // neighbor min folds in via left join + least rather than a self-union of
       // lbl (a union whose branches share lineage trips Catalyst's Union
-      // constraint rewrite on constraint-bearing inputs, e.g. spark.range)
-      val neighborMin = sym.join(lbl, sym("src") === lbl("v"))
-        .groupBy(col("dst").as("nv")).agg(min(col("rep")).as("nrep"))
-      // persisted: BOTH sides of the doubling self-join read minRep — without it
-      // the propagate join+agg executes twice per round (exchange reuse dedups the
+      // constraint rewrite on constraint-bearing inputs, e.g. spark.range).
+      val srcRep = sym.join(lbl, sym("src") === lbl("v"))
+        .select(col("dst"), col("rep").as("rsrc"))
+      val rootCand = srcRep.join(lbl, srcRep("dst") === lbl("v"))
+        .groupBy(col("rep").as("root")).agg(min(col("rsrc")).as("cand"))
+      // persisted: BOTH sides of the jump self-join read `hooked` — without it
+      // the hook joins+agg execute twice per round (exchange reuse dedups the
       // shuffles, not the post-shuffle work); released right after `next`
       // materializes
-      val minRep = lbl.join(neighborMin, col("v") === col("nv"), "left")
+      val hooked = lbl.join(rootCand, col("v") === col("root"), "left")
         .select(col("v"), col("rep").as("orep"),
-          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+          least(col("rep"), coalesce(col("cand"), col("rep"))).as("rep"))
         .persist()
-      // double: rep(v) <- rep(rep(v)); every rep is itself a vertex, so inner
+      // jump: rep(v) <- rep(rep(v)); every rep is itself a vertex, so inner
       // join. The round's change flag rides along (rep != round-start rep), so
       // convergence detection is a shuffle-free scan of the checkpointed result
       // instead of a join back against the previous labels.
-      val next = materialize(minRep.as("a")
-        .join(minRep.as("b"), col("a.rep") === col("b.v"))
+      val next = materialize(hooked.as("a")
+        .join(hooked.as("b"), col("a.rep") === col("b.v"))
         .select(col("a.v").as("v"), col("b.rep").as("rep"),
           (col("b.rep") =!= col("a.orep")).as("chg")))
-      minRep.unpersist(blocking = false)
+      hooked.unpersist(blocking = false)
       val changed = next.filter(col("chg")).limit(1).count() > 0
       lbl = next.select(col("v"), col("rep"))
       round += 1

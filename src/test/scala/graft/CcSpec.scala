@@ -18,7 +18,7 @@ class CcSpec extends AnyFunSuite {
 
   private lazy val documents = spark.read.parquet(s"$sfDir/documents.parquet")
 
-  test("64-hop chain converges within the pointer-doubling round budget") {
+  test("64-hop chain converges within the hook+jump logarithmic round budget") {
     import spark.implicits._
     val vertices = spark.range(0, 65).select(col("id").as("doc_id"))
     val edges = spark.range(0, 64)
