@@ -352,6 +352,8 @@ object SparkEntry {
       documents(s, dir), Dedup.mutantsOnly(documents(s, dir)), sigBaseDirFor(dir))),
     "dedup_apply" -> ((s, dir) => Dedup.dedupApply(documents(s, dir),
       Some(derivedDir(dir, "siggroup", Dedup.SigFormatVersion)))),
+    "window_dup" -> ((s, dir) =>
+      Dedup.windowDup(Dedup.withMutants(documents(s, dir)))),
     // ---- reference API surface: languages, capabilities, lang-dim join -----------
     "lang_codes" -> ((s, _) => graft.sources.Languages.dim(s)
       .orderBy(col("lang_code"))),
@@ -449,6 +451,7 @@ object SparkEntry {
     "dedup_groups" -> OracleSqlDedup.dedupGroups,
     "neardup_incremental" -> OracleSqlDedup.neardupIncremental,
     "dedup_apply" -> OracleSqlDedup.dedupApply,
+    "window_dup" -> OracleSqlDedup.windowDup,
     "lang_codes" -> OracleSqlRef.langCodes,
     "capabilities" -> OracleSqlRef.capabilities,
     "lang_join" -> OracleSqlRef.langJoin,

@@ -134,6 +134,29 @@ object MinHashOps {
     new GenericArrayData(rows)
   }
 
+  /** All n-gram window md5 hex digests in document order, duplicates preserved
+    * (callers distinct). Same byte-diet walk as [[minShingleDigest]], but keeping
+    * every window hash instead of reducing to the min — the substring-level dedup
+    * primitive ([[graft.operators.Dedup.windowDup]]). */
+  def windowHashes(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    val (starts, nTok) = tokenStarts(bytes)
+    val md = graft.operators.DeterministicOcrEngine.threadMd5.get()
+    val count = math.max(0, nTok - n) + 1
+    val out = new Array[Any](count)
+    var i = 0
+    while (i < count) {
+      val from = starts(i)
+      val until = starts(math.min(i + n, nTok)) - 1
+      md.reset()
+      md.update(bytes, from, until - from)
+      out(i) = UTF8String.fromString(
+        graft.operators.DeterministicOcrEngine.hexOf(md.digest()))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** (fp, n_shingles): lexicographic-min md5 over 5-gram shingles. */
   def fingerprint(text: UTF8String): InternalRow = {
     val bytes = text.getBytes
@@ -161,6 +184,29 @@ case class MinHashBandsExpr(child: Expression) extends UnaryExpression {
 object MinHashBandsExpr {
   def apply(text: Column): Column =
     ColumnBridge.column(MinHashBandsExpr(ColumnBridge.expression(text)))
+}
+
+/** array<string> of every [[WindowHashesExpr.WindowN]]-token window's md5 hex —
+  * the per-document expansion behind substring-window dedup. Window length and
+  * join semantics match [[FingerprintExpr]]'s 5-gram shingles (fingerprint is the
+  * min-reduction of exactly this array). */
+case class WindowHashesExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "window_hashes"
+  override def nullSafeEval(input: Any): Any =
+    MinHashOps.windowHashes(input.asInstanceOf[UTF8String], WindowHashesExpr.WindowN)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MinHashOps.windowHashes($c, ${WindowHashesExpr.WindowN})")
+  override protected def withNewChildInternal(newChild: Expression): WindowHashesExpr =
+    copy(child = newChild)
+}
+
+object WindowHashesExpr {
+  /** Window length in tokens; shared with the fingerprint reduction. */
+  val WindowN = 5
+  def apply(text: Column): Column =
+    ColumnBridge.column(WindowHashesExpr(ColumnBridge.expression(text)))
 }
 
 case class FingerprintExpr(child: Expression) extends UnaryExpression {

@@ -231,6 +231,36 @@ object OracleSqlDedup {
     s"""$minhashCtes
        |SELECT doc_id, band, band_hash FROM bands ORDER BY doc_id, band""".stripMargin
 
+  /** Mirror of Dedup.windowDup: distinct 5-token window md5s, occupancy-capped
+    * self-join, containment vs the UNCAPPED distinct-window count of the smaller
+    * doc, threshold 0.5. Window formula matches the fingerprint oracle's shingles
+    * (t[i+1:i+5], end-clamped like Spark's slice). */
+  val windowDup: String =
+    s"""WITH $mutantCorpusCte,
+       |tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM mcorpus),
+       |whq AS (
+       |  SELECT doc_id,
+       |         list_transform(generate_series(0, greatest(0, len(t) - 5)), i -> md5(array_to_string(t[i+1:i+5], ' '))) AS ws
+       |  FROM tk
+       |),
+       |whx AS (SELECT doc_id, unnest(ws) AS whash FROM whq),
+       |wh AS (SELECT DISTINCT doc_id, whash FROM whx),
+       |nw AS (SELECT doc_id, count(*) AS n FROM wh GROUP BY doc_id),
+       |whc AS (
+       |  SELECT doc_id, whash FROM wh
+       |  QUALIFY count(*) OVER (PARTITION BY whash) <= ${graft.operators.Dedup.MaxBucketOccupancy}
+       |),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+       |  FROM whc a JOIN whc b ON a.whash = b.whash AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |)
+       |SELECT p.doc_a, p.doc_b, CAST(p.n_shared AS BIGINT) AS n_shared,
+       |       CAST(floor(1000000.0 * p.n_shared / least(na.n, nb.n)) AS BIGINT) AS containment_e6
+       |FROM p JOIN nw na ON p.doc_a = na.doc_id JOIN nw nb ON p.doc_b = nb.doc_id
+       |WHERE floor(1000000.0 * p.n_shared / least(na.n, nb.n)) >= 500000
+       |ORDER BY p.doc_a, p.doc_b""".stripMargin
+
   val neardupPairs: String =
     s"""$minhashCtes,
        |cand AS (

@@ -175,6 +175,50 @@ object Dedup {
       .select((col("doc_id") + 100000).as("doc_id"),
         concat(lit("mutant "), col("text")).as("text"))
 
+  /** Distinct 5-token window hashes per document — one native byte-level pass
+    * ([[graft.functions.WindowHashesExpr]]), then explode + distinct. */
+  def windowHashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(graft.functions.WindowHashesExpr(col("text"))).as("whash"))
+      .distinct()
+
+  /**
+   * SUBSTRING-window exact-match dedup (the Lee et al. "Deduplicating Training Data"
+   * modality): two documents are window-duplicates when they share verbatim
+   * 5-token windows covering >= 50% of the smaller document's distinct windows.
+   * This catches copy-paste containment that whole-document hashing misses and
+   * MinHash under-scores (a short doc fully embedded in a long one has low Jaccard
+   * but full containment). Output (doc_a, doc_b, n_shared, containment_e6).
+   *
+   * Scale shape: window hashes are md5-uniform, so the self-join key distribution
+   * is flat EXCEPT for boilerplate windows shared by template families — exactly
+   * the degenerate-bucket population [[dropOversized]] caps (a window shared by
+   * 10^6 docs must not emit 10^12 pairs; recall inside a capped template family is
+   * deliberately sacrificed, mirrored in the oracle). The containment denominator
+   * counts UNCAPPED distinct windows (true containment), so capping only removes
+   * candidates, never distorts surviving scores. One distinct-shuffle on
+   * (doc_id, whash), one self-join shuffle on whash, pair agg + two count joins.
+   */
+  def windowDup(docs: DataFrame): DataFrame = {
+    val wh = windowHashes(docs)
+      .localCheckpoint(eager = false) // read 3x: counts + both self-join sides
+    val nWin = wh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val capped = dropOversized(wh, Seq("whash"))
+    val pairs = capped.as("a")
+      .join(capped.as("b"),
+        col("a.whash") === col("b.whash") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(nWin.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(nWin.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        floor(lit(1000000.0) * col("n_shared") / least(col("na.n"), col("nb.n")))
+          .cast("long").as("containment_e6"))
+      .filter(col("containment_e6") >= 500000)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /**
    * INCREMENTAL near-dup: a delta of new documents dedups against an already-
    * committed corpus by READING its signature table ([[committedBands]] resumes —
