@@ -320,7 +320,14 @@ object Dedup {
    * not a full count.
    */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
-      maxIter: Int = CcMaxIter): DataFrame = {
+      maxIter: Int = CcMaxIter): DataFrame =
+    connectedComponentsWithRounds(vertices, edges, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of rounds it took — the observable
+    * behind the logarithmic-convergence claims (CcSpec asserts round budgets on
+    * injected topologies instead of trusting the scaladoc). */
+  def connectedComponentsWithRounds(vertices: DataFrame, edges: DataFrame,
+      maxIter: Int = CcMaxIter): (DataFrame, Int) = {
     // reliable checkpoint when a durable dir is configured; local blocks otherwise
     def materialize(df: DataFrame): DataFrame = {
       val spark = df.sparkSession
@@ -381,7 +388,7 @@ object Dedup {
         // round-timing trace for perf investigation (off unless -Dgraft.cc.trace)
         System.err.println(s"[cc] round $round changed=$changed " +
           s"t=${System.nanoTime() / 1000000}ms")
-      if (!changed) return lbl
+      if (!changed) return (lbl, round)
     }
     throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter rounds")

@@ -88,13 +88,54 @@ class CcSpec extends AnyFunSuite {
     val expected = (0L until nV).map(v => v -> find(v)).toMap
     System.err.println(s"[cc-test] reference built t=${System.nanoTime() / 1000000}ms")
 
-    val got = Dedup.connectedComponents(
+    val (lbl, rounds) = Dedup.connectedComponentsWithRounds(
       spark.range(0, nV).select(col("id").as("doc_id")),
-      edges.toDF("doc_a", "doc_b"),
-      maxIter = 40) // see convergence-rate note below
-      .as[(Long, Long)].collect().toMap
+      edges.toDF("doc_a", "doc_b"))
+    val got = lbl.as[(Long, Long)].collect().toMap
     assert(got.size === nV)
     assert(got === expected)
+    // hooking budget: ~log2(chain length 1000) + merge slack (measured: 9). The
+    // pre-hooking form (per-vertex neighbor-min + doubling) ran past 40 without
+    // converging on exactly this topology.
+    assert(rounds <= 14, s"expected logarithmic convergence, took $rounds rounds")
+  }
+
+  test("1M-vertex scale check: rounds stay logarithmic on 10k-long chains (gated)") {
+    // ~2-3 min of deliberate scale work: run with SPARK_GRAFT_SCALE_TESTS=1
+    assume(sys.env.get("SPARK_GRAFT_SCALE_TESTS").contains("1"),
+      "set SPARK_GRAFT_SCALE_TESTS=1 to run the 1M-vertex CC check")
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val nV = 1000000L
+    val chainEdges = (0L until nV - 1).collect {
+      case i if i % 10000 != 9999 => (i, i + 1) // 100 chains of length 10k
+    }
+    val extraEdges = Seq.fill(20000)(
+      (rnd.nextLong().abs % nV, rnd.nextLong().abs % nV)).filter(e => e._1 != e._2)
+    val edges = (chainEdges ++ extraEdges).toSeq
+
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = (0L until nV).map(v => v -> find(v)).toMap
+
+    val t0 = System.nanoTime()
+    val (lbl, rounds) = Dedup.connectedComponentsWithRounds(
+      spark.range(0, nV).select(col("id").as("doc_id")),
+      edges.toDF("doc_a", "doc_b"))
+    val got = lbl.as[(Long, Long)].collect().toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    System.err.println(f"[cc-1m] $rounds rounds, $secs%.1f s, ${edges.size} edges")
+    assert(got.size === nV)
+    assert(got === expected)
+    // log2(10000) ~ 13.3; hooking's constant is ~1 with merge slack on top
+    assert(rounds <= 24, s"expected logarithmic convergence, took $rounds rounds")
   }
 
   test("dedupGroups == driver-side transitive closure of the derived edges") {

@@ -46,6 +46,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(r3.getString(0) === "w")
       assert(r3.getInt(1) === 10)
       assert(r3.getInt(2) === 9)
+      // window_hashes: 6 tokens -> 2 windows of 5; first = md5 of the 5-token span
+      val r4 = spark.sql(
+        """SELECT size(window_hashes('a b c d e f')) AS n,
+          |       window_hashes('a b c d e f')[0] = md5('a b c d e') AS first_ok""".stripMargin)
+        .collect()(0)
+      assert(r4.getInt(0) === 2)
+      assert(r4.getBoolean(1))
     } finally {
       // leave the shared SparkContext running; just detach this session
       SparkSession.clearActiveSession()
