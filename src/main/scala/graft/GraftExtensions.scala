@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BoilerplateExtract, DotLong, FingerprintExpr, MinHashBandsExpr, ParseAltoExpr, ParseHocrExpr, ParsePdfExpr, SimHash64, WindowHashesExpr}
+import graft.functions.{BoilerplateExtract, DotLong, FingerprintExpr, MinHashBandsExpr, ParseAltoExpr, ParseHocrExpr, ParsePdfExpr, NormalizeTextExpr, SimHash64, WindowHashesExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -77,6 +77,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "parse_pdf(content_stream) takes one argument")
         ParsePdfExpr(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("normalize_text"),
+      new ExpressionInfo(classOf[NormalizeTextExpr].getName, "normalize_text"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "normalize_text(text) takes one argument")
+        NormalizeTextExpr(args.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("window_hashes"),

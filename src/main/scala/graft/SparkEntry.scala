@@ -396,6 +396,8 @@ object SparkEntry {
     "lang_id" -> ((s, dir) => TextAnalysis.langId(documents(s, dir))),
     "token_stats" -> ((s, dir) => TextAnalysis.tokenStats(documents(s, dir))),
     "fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(documents(s, dir))),
+    "normalize_text" -> ((s, dir) =>
+      TextAnalysis.normalizeText(TextAnalysis.withUnicodeNoise(documents(s, dir)))),
     "term_df" -> ((s, dir) => TextAnalysis.termDf(documents(s, dir))),
     "top_terms" -> ((s, dir) =>
       TextAnalysis.topTerms(documents(s, dir), tfStore = Some(tfDirFor(dir)))),
@@ -469,6 +471,7 @@ object SparkEntry {
     "lang_id" -> OracleSqlDedup.langId,
     "token_stats" -> OracleSqlDedup.tokenStats,
     "fingerprint" -> OracleSqlDedup.fingerprint,
+    "normalize_text" -> graft.functions.OracleSqlText.normalizeText,
     "term_df" -> graft.functions.OracleSqlText.termDf,
     "top_terms" -> graft.functions.OracleSqlText.topTerms,
     "repetition" -> graft.functions.OracleSqlHygiene.repetition,

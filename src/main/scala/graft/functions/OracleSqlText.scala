@@ -6,6 +6,27 @@ package graft.functions
   * integers on both engines), never a log. */
 object OracleSqlText {
 
+  /** Mirror of TextAnalysis.normalizeText over withUnicodeNoise. The noise suffix
+    * is interpolated from the SAME Scala constant the Spark side appends
+    * (byte-exact single-sourcing); the normalization chain maps 1:1 — NFC
+    * (nfc_normalize), whitespace-run collapse (RE2 class identical to the
+    * java.util.regex class in TextNormalizeImpl), trim (post-collapse the ends can
+    * only be ASCII spaces, so trim == strip), lower. */
+  val normalizeText: String = {
+    val noise = graft.operators.TextAnalysis.UnicodeNoise
+    val norm =
+      """lower(trim(regexp_replace(nfc_normalize(text), '[\t\n\x0B\f\r \p{Zs}\x{200B}]+', ' ', 'g')))"""
+    s"""WITH ncorpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 500000 AS doc_id, text || '$noise' AS text
+       |  FROM documents WHERE doc_id % 7 = 0
+       |)
+       |SELECT doc_id, $norm AS norm_text,
+       |       CAST(CASE WHEN $norm <> text THEN 1 ELSE 0 END AS INT) AS changed
+       |FROM ncorpus ORDER BY doc_id""".stripMargin
+  }
+
   val termDf: String =
     """WITH tk AS (
       |  SELECT doc_id, t.t AS term

@@ -186,4 +186,30 @@ object TextAnalysis {
         graft.functions.FingerprintExpr(col("text")).as("f"))
       .select(col("doc_id"), col("f.fp").as("fp"), col("f.n_shingles").as("n_shingles"))
       .orderBy(col("doc_id"))
+
+  /** Deterministic Unicode-noise suffix: the three failure classes
+    * [[normalizeText]] canonicalizes — decomposed (e+U+0301) vs precomposed
+    * (U+00C9/U+00E9) forms, the whitespace zoo (NBSP, ideographic/thin space,
+    * zero-width space, tabs, CRLF, runs), and mixed case. Mirrored BYTE-exactly in
+    * the DuckDB oracle ([[graft.functions.OracleSqlText.UnicodeNoise]]). */
+  val UnicodeNoise: String =
+    " Cafe\u0301 CAF\u00C9\u00A0joined\u3000wide\u2009thin zero\u200Bwidth\tTAB  Twice\r\n"
+
+  /** documents + Unicode-noised copies of every 7th doc (id + 500000). */
+  def withUnicodeNoise(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col("text")).unionByName(
+      documents.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          concat(col("text"), lit(UnicodeNoise)).as("text")))
+
+  /** Canonical normalization (NFC -> whitespace collapse -> trim -> lower; see
+    * [[graft.functions.TextNormalizeImpl]]) with a changed flag — shuffle-free,
+    * one codegen'd pass per row. */
+  def normalizeText(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+        graft.functions.NormalizeTextExpr(col("text")).as("norm_text"),
+        col("text"))
+      .select(col("doc_id"), col("norm_text"),
+        when(col("norm_text") =!= col("text"), 1).otherwise(0).as("changed"))
+      .orderBy(col("doc_id"))
 }

@@ -53,6 +53,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .collect()(0)
       assert(r4.getInt(0) === 2)
       assert(r4.getBoolean(1))
+      val r5 = spark.sql("SELECT normalize_text('A  B\tC') AS n").collect()(0)
+      assert(r5.getString(0) === "a b c")
     } finally {
       // leave the shared SparkContext running; just detach this session
       SparkSession.clearActiveSession()
