@@ -353,7 +353,8 @@ object SparkEntry {
     "dedup_apply" -> ((s, dir) => Dedup.dedupApply(documents(s, dir),
       Some(derivedDir(dir, "siggroup", Dedup.SigFormatVersion)))),
     "window_dup" -> ((s, dir) =>
-      Dedup.windowDup(Dedup.withMutants(documents(s, dir)))),
+      Dedup.windowDupCommitted(Dedup.withMutants(documents(s, dir)),
+        derivedDir(dir, "winhash", Dedup.WinFormatVersion))),
     // ---- reference API surface: languages, capabilities, lang-dim join -----------
     "lang_codes" -> ((s, _) => graft.sources.Languages.dim(s)
       .orderBy(col("lang_code"))),

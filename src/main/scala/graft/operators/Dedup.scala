@@ -199,9 +199,33 @@ object Dedup {
    * candidates, never distorts surviving scores. One distinct-shuffle on
    * (doc_id, whash), one self-join shuffle on whash, pair agg + two count joins.
    */
-  def windowDup(docs: DataFrame): DataFrame = {
-    val wh = windowHashes(docs)
-      .localCheckpoint(eager = false) // read 3x: counts + both self-join sides
+  def windowDup(docs: DataFrame): DataFrame =
+    // ad-hoc/test form: window hashes materialized per-session (read 3x: counts +
+    // both self-join sides). The standing form is [[windowDupCommitted]].
+    windowDupFrom(windowHashes(docs).localCheckpoint(eager = false))
+
+  /** Window-hash table format version — part of the committed directory key
+    * (bump with any change to [[graft.functions.WindowHashesExpr.WindowN]] or the
+    * window hash). */
+  val WinFormatVersion = 1
+
+  /** [[windowDup]] over a window-hash table committed through the snapshot
+    * protocol (same contract as [[committedBands]]: reruns skip verified buckets
+    * and read parquet instead of re-hashing every window; executor loss costs a
+    * bucket re-derive; the table has manifest lineage; metadata-tier verification
+    * on the read path, deep hash as the explicit audit). `whDir` MUST be keyed by
+    * corpus identity + [[WinFormatVersion]] by the caller. */
+  def windowDupCommitted(docs: DataFrame, whDir: String,
+      nBuckets: Int = SigBuckets, deepVerify: Boolean = false): DataFrame = {
+    val withBucket = windowHashes(docs)
+      .withColumn("bucket", pmod(hash(col("doc_id")), lit(nBuckets)).cast("int"))
+    graft.sources.TableSnapshot.run(withBucket, whDir, nBuckets,
+      deepVerify = deepVerify)
+    windowDupFrom(
+      graft.sources.TableSnapshot.readBack(docs.sparkSession, whDir).drop("bucket"))
+  }
+
+  private def windowDupFrom(wh: DataFrame): DataFrame = {
     val nWin = wh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val capped = dropOversized(wh, Seq("whash"))
     val pairs = capped.as("a")

@@ -33,7 +33,7 @@ class PlanSpec extends AnyFunSuite {
     "snapshot_lineage", "snapshot_resume", "snapshot_compact",
     "snapshot_timetravel", "snapshot_changes", "snapshot_takedown",
     "neardup_pairs", "top_terms", "dedup_groups", "dedup_apply",
-    "neardup_incremental")
+    "neardup_incremental", "window_dup")
 
   private val planChecked =
     SparkEntry.queries.keys.filterNot(buildExecutes).toSeq.sorted
@@ -58,6 +58,7 @@ class PlanSpec extends AnyFunSuite {
     // (localCheckpoint(eager=false) islands) — plan inspection runs nothing
     val offenders = Seq(
       "neardup_pairs(ad-hoc)" -> Dedup.neardupPairs(Dedup.withMutants(docs)),
+      "window_dup(ad-hoc)" -> Dedup.windowDup(Dedup.withMutants(docs)),
       "top_terms(ad-hoc)" -> TextAnalysis.topTerms(docs, tfStore = None)
     ).flatMap { case (n, df) => assertNoQuadraticJoin(n, df) }
     assert(offenders.isEmpty, s"quadratic join operators in plans: $offenders")

@@ -61,6 +61,20 @@ class WindowDupSpec extends AnyFunSuite {
     assert(nd === 0L, "Jaccard pipeline should NOT pair a small embedded fragment")
   }
 
+  test("committed window-hash path == session path; rerun resumes from the manifest") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-winhash-spec").toString
+    try {
+      val docs = Dedup.withMutants(documents)
+      val session = Dedup.windowDup(docs).collect().toSeq
+      val committed = Dedup.windowDupCommitted(docs, dir).collect().toSeq
+      assert(committed === session)
+      // second run resumes: verified buckets read back from parquet, same result
+      assert(Dedup.windowDupCommitted(docs, dir).collect().toSeq === session)
+    } finally {
+      graft.sources.SnapshotSink.deleteRecursively(java.nio.file.Paths.get(dir))
+    }
+  }
+
   test("1000 identical docs are capped out; normal pairs unchanged") {
     val base = Dedup.withMutants(documents)
     val fam = spark.range(0, 1000)
