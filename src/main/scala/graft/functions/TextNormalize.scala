@@ -37,10 +37,29 @@ object TextNormalizeImpl {
     * NBSP U+00A0), or zero-width space U+200B (category Cf, so not in Zs). */
   private val WsRun: Pattern = Pattern.compile("[\\t\\n\\x0B\\f\\r \\p{Zs}\\x{200B}]+")
 
+  /** SIMPLE (1:1 codepoint) lowercase — deliberately NOT String.toLowerCase:
+    * Java's String.toLowerCase applies FULL case mapping (SpecialCasing.txt:
+    * 'İ' U+0130 -> "i" + combining dot U+0307, word-final 'Σ' -> 'ς'), while
+    * DuckDB's lower() (utf8proc) applies the UnicodeData simple mapping
+    * ('İ' -> 'i', every 'Σ' -> 'σ'). Character.toLowerCase(int) IS the simple
+    * mapping, so this folds identically to the oracle on every codepoint —
+    * the divergence-prone characters sit in TextAnalysis.UnicodeNoise so the
+    * driver gate itself would catch a regression. */
+  private def lowerSimple(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      sb.appendCodePoint(Character.toLowerCase(cp))
+      i += Character.charCount(cp)
+    }
+    sb.toString
+  }
+
   def normalize(text: UTF8String): UTF8String = {
     val nfc = java.text.Normalizer.normalize(text.toString, java.text.Normalizer.Form.NFC)
     val collapsed = WsRun.matcher(nfc).replaceAll(" ")
-    UTF8String.fromString(collapsed.strip.toLowerCase(java.util.Locale.ROOT))
+    UTF8String.fromString(lowerSimple(collapsed.strip))
   }
 }
 

@@ -125,13 +125,9 @@ object Dedup {
    * it catches; SignatureStoreSpec exercises both tiers.
    */
   def committedBands(docs: DataFrame, sigDir: String,
-      nBuckets: Int = SigBuckets, deepVerify: Boolean = false): DataFrame = {
-    val withBucket = minhashBands(docs)
-      .withColumn("bucket", pmod(hash(col("doc_id")), lit(nBuckets)).cast("int"))
-    graft.sources.TableSnapshot.run(withBucket, sigDir, nBuckets,
-      deepVerify = deepVerify)
-    graft.sources.TableSnapshot.readBack(docs.sparkSession, sigDir).drop("bucket")
-  }
+      nBuckets: Int = SigBuckets, deepVerify: Boolean = false): DataFrame =
+    graft.sources.TableSnapshot.runHashBucketed(
+      minhashBands(docs), "doc_id", sigDir, nBuckets, deepVerify)
 
   /** [[neardupPairs]] over a COMMITTED signature table — the standing production
     * form (registered as the `neardup_pairs` query). */
@@ -216,14 +212,9 @@ object Dedup {
     * on the read path, deep hash as the explicit audit). `whDir` MUST be keyed by
     * corpus identity + [[WinFormatVersion]] by the caller. */
   def windowDupCommitted(docs: DataFrame, whDir: String,
-      nBuckets: Int = SigBuckets, deepVerify: Boolean = false): DataFrame = {
-    val withBucket = windowHashes(docs)
-      .withColumn("bucket", pmod(hash(col("doc_id")), lit(nBuckets)).cast("int"))
-    graft.sources.TableSnapshot.run(withBucket, whDir, nBuckets,
-      deepVerify = deepVerify)
-    windowDupFrom(
-      graft.sources.TableSnapshot.readBack(docs.sparkSession, whDir).drop("bucket"))
-  }
+      nBuckets: Int = SigBuckets, deepVerify: Boolean = false): DataFrame =
+    windowDupFrom(graft.sources.TableSnapshot.runHashBucketed(
+      windowHashes(docs), "doc_id", whDir, nBuckets, deepVerify))
 
   private def windowDupFrom(wh: DataFrame): DataFrame = {
     val nWin = wh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))

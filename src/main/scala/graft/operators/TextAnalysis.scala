@@ -138,16 +138,11 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val tf = tfStore match {
+      // metadata-tier verification only on this READ path (runHashBucketed's
+      // default: the deep re-hash of every committed byte is an explicit audit,
+      // not a per-query cost)
       case Some(dir) =>
-        val withBucket = tfRaw.withColumn("bucket",
-          pmod(hash(col("doc_id")), lit(TfBuckets)).cast("int"))
-        // metadata-tier verification only on this READ path (same rationale as
-        // Dedup.committedBands: the deep re-hash of every committed byte is an
-        // explicit audit, not a per-query cost)
-        graft.sources.TableSnapshot.run(withBucket, dir, TfBuckets,
-          deepVerify = false)
-        graft.sources.TableSnapshot.readBack(documents.sparkSession, dir)
-          .drop("bucket")
+        graft.sources.TableSnapshot.runHashBucketed(tfRaw, "doc_id", dir, TfBuckets)
       case None => tfRaw.localCheckpoint(eager = false)
     }
     // tf is DISTINCT on (doc_id, term) by construction (it is grouped on them), so
@@ -190,10 +185,14 @@ object TextAnalysis {
   /** Deterministic Unicode-noise suffix: the three failure classes
     * [[normalizeText]] canonicalizes — decomposed (e+U+0301) vs precomposed
     * (U+00C9/U+00E9) forms, the whitespace zoo (NBSP, ideographic/thin space,
-    * zero-width space, tabs, CRLF, runs), and mixed case. Mirrored BYTE-exactly in
+    * zero-width space, tabs, CRLF, runs), mixed case, AND the two characters where
+    * full and simple Unicode lowercasing diverge (dotted capital I U+0130,
+    * word-final capital sigma U+03A3 — [[graft.functions.TextNormalizeImpl]]
+    * explains why simple mapping is the contract). Mirrored BYTE-exactly in
     * the DuckDB oracle ([[graft.functions.OracleSqlText.UnicodeNoise]]). */
   val UnicodeNoise: String =
-    " Cafe\u0301 CAF\u00C9\u00A0joined\u3000wide\u2009thin zero\u200Bwidth\tTAB  Twice\r\n"
+    " Cafe\u0301 CAF\u00C9\u00A0joined\u3000wide\u2009thin zero\u200Bwidth\tTAB" +
+    "  Twice \u0130stanbul \u039F\u03A3\r\n" // U+0130/U+03A3: simple-vs-full case traps
 
   /** documents + Unicode-noised copies of every 7th doc (id + 500000). */
   def withUnicodeNoise(documents: DataFrame): DataFrame =

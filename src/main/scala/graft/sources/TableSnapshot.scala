@@ -155,6 +155,20 @@ object TableSnapshot {
     spark.read.option("mergeSchema", "true")
       .parquet(Paths.get(outDir).resolve("data").toString)
 
+  /** The shared derived-table commit shape (dedup signatures, window hashes, tf):
+    * hash-bucket `df` on `keyCol`, commit under the snapshot protocol, read back
+    * without the bucket column. Single-sourced so the contract — bucket key is
+    * HASH-derived, never `key % n` (a modulus-sampled input would populate only
+    * gcd residues); metadata-tier verification by default on read paths with the
+    * deep hash as the explicit audit knob — cannot drift between the callers. */
+  def runHashBucketed(df: DataFrame, keyCol: String, outDir: String, nBuckets: Int,
+      deepVerify: Boolean = false): DataFrame = {
+    val withBucket =
+      df.withColumn("bucket", pmod(hash(col(keyCol)), lit(nBuckets)).cast("int"))
+    run(withBucket, outDir, nBuckets, deepVerify = deepVerify)
+    readBack(df.sparkSession, outDir).drop("bucket")
+  }
+
   // ---- schema evolution ---------------------------------------------------------
   //
   // Iceberg-style table-level schema history (`schema.json`, JSON lines of

@@ -36,6 +36,13 @@ class TextNormalizeSpec extends AnyFunSuite {
     assert(norm("already normal text") === "already normal text")
   }
 
+  test("SIMPLE case mapping, matching DuckDB lower(): U+0130 and final sigma") {
+    // full mapping (String.toLowerCase) would emit 'i'+U+0307 and final-form 'ς';
+    // DuckDB's utf8proc lower() is the UnicodeData SIMPLE mapping — so are we
+    assert(norm("\u0130stanbul") === "istanbul")
+    assert(norm("\u039F\u03A3") === "\u03BF\u03C3") // never final-form U+03C2
+  }
+
   test("normalization makes case/whitespace variants exact-dedup-able") {
     // the composition that motivates the operator: a doc re-serialized with NBSP
     // separators and different casing is the SAME content, but exact dedup only

@@ -26,7 +26,11 @@ class WindowDupSpec extends AnyFunSuite {
 
   test("mutants pair with their originals at containment 1.0") {
     val got = pairs(Dedup.windowDup(Dedup.withMutants(documents)))
-    val mutantIds = documents.filter(col("doc_id") % 10 === 0)
+    // full containment needs >= 5 tokens: a shorter doc's single end-clamped
+    // window differs from its mutant's (which starts with 'mutant'), so such a
+    // pair is correctly ABSENT on both engines — keep the assertion off it
+    val mutantIds = documents
+      .filter(col("doc_id") % 10 === 0 && size(split(col("text"), " ")) >= 5)
       .select(col("doc_id")).collect().map(_.getLong(0))
     assert(mutantIds.nonEmpty)
     mutantIds.foreach { d =>
