@@ -389,6 +389,8 @@ object SparkEntry {
       Similarity.embedNeardupAudit(Similarity.withEmbMutants(embeddings(s, dir)))),
     "ivf_topk" -> ((s, dir) => Similarity.ivfTopK(embeddings(s, dir))),
     "ivf_train" -> ((s, dir) => Similarity.ivfTrain(embeddings(s, dir))),
+    "semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(Similarity.withEmbMutants(embeddings(s, dir)))),
     // ---- sessionization (events table, window-function family) -------------------
     "sessionize" -> ((s, dir) => graft.operators.Sessions.sessionize(
       s.read.parquet(s"$dir/events.parquet"))),
@@ -467,6 +469,7 @@ object SparkEntry {
     "embed_neardup" -> OracleSqlSim.embedNeardup,
     "ivf_topk" -> OracleSqlSim.ivfTopK,
     "ivf_train" -> OracleSqlSim.ivfTrain,
+    "semantic_dedup" -> OracleSqlSim.semanticDedup,
     "sessionize" -> OracleSqlRef.sessionize,
     "text_quality" -> OracleSqlDedup.textQuality,
     "lang_id" -> OracleSqlDedup.langId,

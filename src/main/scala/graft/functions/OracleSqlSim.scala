@@ -134,6 +134,53 @@ object OracleSqlSim {
        |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS "rank", cos_e6
        |FROM ranked WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
 
+  /** Mirror of [[graft.operators.Similarity.semanticDedup]]: nearest-cell
+    * assignment with the (d2, cell) tie-break (row_number QUALIFY == Spark's
+    * min(struct)), the shared occupancy cap on collapsed cells, within-cell
+    * cos >= SemThresholdE6 pairs, then the same recursive reachability closure the
+    * dedup-groups oracle uses (symmetric edges, min reachable vertex = component
+    * rep). Constants are interpolated from Similarity so the two sides cannot
+    * drift. */
+  val semanticDedup: String = {
+    import graft.operators.Similarity.{SemCentroidMod, SemThresholdE6}
+    // the closure CTE needs WITH RECURSIVE, which must lead the whole WITH list
+    val ctes = mutantCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")
+    s"""$ctes,
+       |cents AS (SELECT vec_id AS cent_id, q AS cq, n2 AS cn2 FROM vn WHERE vec_id % $SemCentroidMod = 0),
+       |asg0 AS (
+       |  SELECT vn.vec_id, vn.q, vn.n2, c.cent_id,
+       |         row_number() OVER (PARTITION BY vn.vec_id
+       |           ORDER BY vn.n2 + c.cn2 - 2 * ${dot("vn.q", "c.cq")}, c.cent_id) AS rn
+       |  FROM vn, cents c
+       |),
+       |asg AS (SELECT vec_id, q, n2, cent_id AS cell FROM asg0 WHERE rn = 1),
+       |asgc AS (
+       |  SELECT * FROM asg
+       |  QUALIFY count(*) OVER (PARTITION BY cell) <= ${graft.operators.Dedup.MaxBucketOccupancy}
+       |),
+       |pairs AS (
+       |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |  FROM asgc a JOIN asgc b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ${cosE6(dot("a.q", "b.q"), "a.n2", "b.n2")} >= $SemThresholdE6
+       |),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b AS src, doc_a AS dst FROM pairs
+       |),
+       |reach AS (
+       |  SELECT vec_id AS v, vec_id AS r FROM vn
+       |  UNION
+       |  SELECT e.dst AS v, reach.r FROM reach JOIN edges e ON e.src = reach.v
+       |),
+       |comp AS (SELECT v AS vec_id, min(r) AS rep_id FROM reach GROUP BY v),
+       |gs AS (SELECT rep_id, CAST(count(*) AS BIGINT) AS group_size FROM comp GROUP BY rep_id)
+       |SELECT c.vec_id, c.rep_id, g.group_size,
+       |       CAST(CASE WHEN c.vec_id = c.rep_id THEN 1 ELSE 0 END AS INT) AS is_canonical
+       |FROM comp c JOIN gs g ON g.rep_id = c.rep_id
+       |WHERE g.group_size >= 2
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** Mirror of Similarity.ivfTrain: KmIters unrolled Lloyd rounds in exact
     * arithmetic — integer squared-L2 assignment with (d2, cell) tie-breaking
     * (row_number QUALIFY == Spark's min(struct)), floor-of-double per-dim means,

@@ -254,6 +254,72 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** SemDeDup cell-granularity modulus: every (vec_id % SemCentroidMod == 0) vector
+    * seeds a cell, so the cell count K scales WITH the corpus and expected occupancy
+    * stays ~SemCentroidMod — the knob that keeps total within-cell pairwise work
+    * O(N·SemCentroidMod), i.e. linear in the corpus (Abbas et al. 2023's design:
+    * cluster first, pay quadratic cost only inside bounded cells). */
+  val SemCentroidMod = 50
+
+  /** Semantic-duplicate threshold, floor(1e6·cos): 0.95 is the SemDeDup operating
+    * point — far above the ~0 cosine of unrelated near-orthogonal embeddings, far
+    * below the ~0.9999 of a re-encoded/re-crawled duplicate. */
+  val SemThresholdE6 = 950000L
+
+  /**
+   * SemDeDup-style SEMANTIC dedup: cluster embeddings into IVF cells (nearest
+   * centroid by exact integer squared-L2, ties to the lower cell id — the same
+   * assignment contract as [[ivfTopK]]), find cos >= [[SemThresholdE6]] pairs ONLY
+   * within a cell, close them into groups (connected components, shared with
+   * [[Dedup.dedupGroups]]), and emit every member of a non-trivial semantic group as
+   * (vec_id, rep_id, group_size, is_canonical) — a curation pass keeps
+   * `is_canonical = 1` and drops the rest.
+   *
+   * Scale shape: assignment is one fanned-out pass (codegen literal / broadcast
+   * codebook, no scan re-partition) + a map-side-partial min-struct agg; the
+   * pairwise stage is an EQUI-join on `cell` whose per-key volume is bounded by the
+   * centroid granularity, with the shared degenerate-bucket occupancy cap
+   * ([[Dedup.MaxBucketOccupancy]]) guarding collapsed cells (a default-vector
+   * family shares one cell exactly like a boilerplate family shares an LSH bucket);
+   * CC runs over edge ENDPOINTS only, O(semantic dups) not O(corpus). Cross-cell
+   * near-dups are missed BY DESIGN — that is SemDeDup's documented recall tradeoff,
+   * and what the gate verifies is the exact deterministic cell semantics.
+   */
+  def semanticDedup(embWithMutants: DataFrame,
+      centroidMod: Int = SemCentroidMod): DataFrame = {
+    val v = quantized(embWithMutants)
+    val cents = v.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id"), col("q"), col("n2"))
+    // nearest-cell assignment; materialized once (lazily): the occupancy count and
+    // both self-join sides read it
+    val assigned = fanOut(v, cents, "cent_id", "cq", "cn2")
+      .withColumn("d2",
+        col("n2") + col("cn2") - lit(2L) * doti(col("q"), col("cq")))
+      .groupBy(col("vec_id"), col("q"), col("n2"))
+      .agg(min(struct(col("d2"), col("cent_id"))).as("mc"))
+      .select(col("vec_id"), col("q"), col("n2"), col("mc.cent_id").as("cell"))
+      .localCheckpoint(eager = false)
+    val capped = Dedup.dropOversized(assigned, Seq("cell"))
+    val edges = capped.as("a")
+      .join(capped.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos_e6",
+        cosE6(doti(col("a.q"), col("b.q")), col("a.n2"), col("b.n2")))
+      .filter(col("cos_e6") >= SemThresholdE6)
+      .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
+      .localCheckpoint(eager = false) // endpoints + CC both read it
+    val touched = edges.select(col("doc_a").as("doc_id"))
+      .unionByName(edges.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val comp = Dedup.connectedComponents(touched, edges)
+    val sizes = comp.groupBy(col("rep")).agg(count(lit(1)).as("group_size"))
+    comp.join(sizes, Seq("rep"))
+      .filter(col("group_size") >= 2)
+      .select(col("v").as("vec_id"), col("rep").as("rep_id"), col("group_size"),
+        when(col("v") === col("rep"), 1).otherwise(0).as("is_canonical"))
+      .orderBy(col("vec_id"))
+  }
+
   /** k-means init modulus (initial codebook = vec_id % KmInitMod == 0) and Lloyd
     * iteration count for [[ivfTrain]]. */
   val KmInitMod = 100
