@@ -412,6 +412,8 @@ object SparkEntry {
     // ---- corpus curation: mixing + quality funnel ----------------------------------
     "sample_stratified" -> ((s, dir) =>
       graft.operators.Curation.sampleStratified(documents(s, dir))),
+    "source_quota" -> ((s, dir) =>
+      graft.operators.Curation.sourceQuota(documents(s, dir))),
     "quality_filter" -> ((s, dir) =>
       graft.operators.Curation.qualityFilter(documents(s, dir))),
     "quality_funnel" -> ((s, dir) =>
@@ -482,6 +484,7 @@ object SparkEntry {
     "decontaminate" -> graft.functions.OracleSqlHygiene.decontaminate,
     "pii_redact" -> graft.functions.OracleSqlHygiene.piiRedact,
     "sample_stratified" -> graft.functions.OracleSqlCuration.sampleStratified,
+    "source_quota" -> graft.functions.OracleSqlCuration.sourceQuota,
     "quality_filter" -> graft.functions.OracleSqlCuration.qualityFilter,
     "quality_funnel" -> graft.functions.OracleSqlCuration.qualityFunnel,
     "corpus_stats" -> graft.functions.OracleSqlCuration.corpusStats,

@@ -28,6 +28,23 @@ object OracleSqlCuration {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Mirror of [[Curation.sourceQuota]]: one row_number per source ordered by the
+    * salted md5 priority (+ doc_id tie-break), kept iff <= quota. The Spark side's
+    * two-stage chunked rank is provably equal to this single global rank (stage 1
+    * only discards rows that cannot be in the top Q), so the oracle pins the exact
+    * per-domain membership AND rank. */
+  val sourceQuota: String =
+    s"""WITH k AS (
+       |  SELECT doc_id, source,
+       |         substr(md5('${Curation.QuotaSalt}:' || CAST(doc_id AS VARCHAR)), 1, 8) AS sample_key
+       |  FROM documents
+       |)
+       |SELECT doc_id, source, sample_key,
+       |       CAST(row_number() OVER (PARTITION BY source ORDER BY sample_key, doc_id) AS BIGINT) AS quota_rank
+       |FROM k
+       |QUALIFY quota_rank <= ${Curation.SourceQuota}
+       |ORDER BY doc_id""".stripMargin
+
   val corpusStats: String =
     """WITH t AS (
       |  SELECT lang, source, len(string_split(text, ' ')) AS n_tok, n_chars

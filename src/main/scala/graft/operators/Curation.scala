@@ -230,6 +230,63 @@ object Curation {
     Packing.seqPack(mixed)
   }
 
+  // ---- per-source quota ----------------------------------------------------------
+
+  /** Salt for the quota draw — independent of [[MixSalt]]/[[BudgetSalt]] so quota
+    * survival never correlates with mix membership. */
+  val QuotaSalt = "graft-quota-v1"
+
+  /** Documents kept per `source` (C4/RefinedWeb-style domain cap: no single crawl
+    * domain may dominate the training set no matter how many pages it contributed). */
+  val SourceQuota = 15L
+
+  /** Chunk fan-out for the two-stage rank (output-invariant; QuotaSpec proves 1/7/64
+    * agree). Sized so chunk ~ quota at production scale: survivors per source are
+    * bounded by QuotaChunks·SourceQuota. */
+  val QuotaChunks = 16
+
+  /** Quota priority: first 8 hex chars of md5(salt:doc_id) — same portable
+    * uniform-u32-as-lowercase-hex trick as the samplers, so DuckDB ranks by the
+    * identical key. doc_id breaks (astronomically unlikely) 8-hex ties. */
+  private def quotaKey(docId: Column): Column =
+    substring(md5(concat_ws(":", lit(QuotaSalt), docId.cast("string"))), 1, 8)
+
+  /**
+   * Per-source document QUOTA: keep at most [[SourceQuota]] documents per `source`,
+   * selected by deterministic hash priority (lowest [[quotaKey]] wins) — the domain
+   * cap every web-scale curation recipe applies before mixing, with reproducible,
+   * oracle-predictable membership instead of a seed-lost random draw. Output
+   * (doc_id, source, sample_key, quota_rank), ranks 1..Q per source.
+   *
+   * Scale shape: an exact per-key top-Q, NOT one window over each source — a
+   * mega-source (a 10⁸-page crawl domain) would pin a single sort task. Stage 1
+   * ranks within (source, chunk) — [[QuotaChunks]] bounded tasks per source — and
+   * keeps local rank <= Q, which provably contains the global top-Q (any global
+   * winner ranks <= Q in its own chunk); stage 2 re-ranks only the <= chunks·Q
+   * survivors per source. Both windows shuffle O(survivors + corpus/chunks)
+   * per task, never O(mega-source). The same two-stage shape as the sessionize
+   * bot-tail salting, here for top-K instead of gap sessions.
+   */
+  def sourceQuota(documents: DataFrame,
+      quota: Long = SourceQuota, nChunks: Int = QuotaChunks): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = documents.select(col("doc_id"), col("source"),
+      quotaKey(col("doc_id")).as("sample_key"),
+      pmod(hash(col("doc_id")), lit(nChunks)).as("chunk"))
+    val local = Window.partitionBy(col("source"), col("chunk"))
+      .orderBy(col("sample_key"), col("doc_id"))
+    val survivors = keyed
+      .withColumn("lr", row_number().over(local))
+      .filter(col("lr") <= quota)
+      .drop("lr", "chunk")
+    val global = Window.partitionBy(col("source"))
+      .orderBy(col("sample_key"), col("doc_id"))
+    survivors
+      .withColumn("quota_rank", row_number().over(global).cast("long"))
+      .filter(col("quota_rank") <= quota)
+      .orderBy(col("doc_id"))
+  }
+
   // ---- quality funnel -----------------------------------------------------------
 
   /** Funnel thresholds (applied to the exact-integer metrics of

@@ -287,6 +287,26 @@ object Similarity {
    */
   def semanticDedup(embWithMutants: DataFrame,
       centroidMod: Int = SemCentroidMod): DataFrame = {
+    val edges = semanticDedupEdges(embWithMutants, centroidMod)
+      .localCheckpoint(eager = false) // endpoints + CC both read it
+    val touched = edges.select(col("doc_a").as("doc_id"))
+      .unionByName(edges.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val comp = Dedup.connectedComponents(touched, edges)
+    val sizes = comp.groupBy(col("rep")).agg(count(lit(1)).as("group_size"))
+    comp.join(sizes, Seq("rep"))
+      .filter(col("group_size") >= 2)
+      .select(col("v").as("vec_id"), col("rep").as("rep_id"), col("group_size"),
+        when(col("v") === col("rep"), 1).otherwise(0).as("is_canonical"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The pre-closure stage of [[semanticDedup]]: nearest-cell assignment + the
+    * occupancy-capped within-cell pair join, as (doc_a, doc_b) edges. Split out so
+    * the plan-shape gate (PlanSpec) can audit the join topology lazily — the full
+    * operator's CC loop executes jobs at construction time. */
+  def semanticDedupEdges(embWithMutants: DataFrame,
+      centroidMod: Int = SemCentroidMod): DataFrame = {
     val v = quantized(embWithMutants)
     val cents = v.filter(col("vec_id") % centroidMod === 0)
       .select(col("vec_id"), col("q"), col("n2"))
@@ -300,24 +320,13 @@ object Similarity {
       .select(col("vec_id"), col("q"), col("n2"), col("mc.cent_id").as("cell"))
       .localCheckpoint(eager = false)
     val capped = Dedup.dropOversized(assigned, Seq("cell"))
-    val edges = capped.as("a")
+    capped.as("a")
       .join(capped.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos_e6",
         cosE6(doti(col("a.q"), col("b.q")), col("a.n2"), col("b.n2")))
       .filter(col("cos_e6") >= SemThresholdE6)
       .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
-      .localCheckpoint(eager = false) // endpoints + CC both read it
-    val touched = edges.select(col("doc_a").as("doc_id"))
-      .unionByName(edges.select(col("doc_b").as("doc_id")))
-      .distinct()
-    val comp = Dedup.connectedComponents(touched, edges)
-    val sizes = comp.groupBy(col("rep")).agg(count(lit(1)).as("group_size"))
-    comp.join(sizes, Seq("rep"))
-      .filter(col("group_size") >= 2)
-      .select(col("v").as("vec_id"), col("rep").as("rep_id"), col("group_size"),
-        when(col("v") === col("rep"), 1).otherwise(0).as("is_canonical"))
-      .orderBy(col("vec_id"))
   }
 
   /** k-means init modulus (initial codebook = vec_id % KmInitMod == 0) and Lloyd

@@ -33,7 +33,7 @@ class PlanSpec extends AnyFunSuite {
     "snapshot_lineage", "snapshot_resume", "snapshot_compact",
     "snapshot_timetravel", "snapshot_changes", "snapshot_takedown",
     "neardup_pairs", "top_terms", "dedup_groups", "dedup_apply",
-    "neardup_incremental", "window_dup")
+    "neardup_incremental", "window_dup", "semantic_dedup")
 
   private val planChecked =
     SparkEntry.queries.keys.filterNot(buildExecutes).toSeq.sorted
@@ -59,7 +59,13 @@ class PlanSpec extends AnyFunSuite {
     val offenders = Seq(
       "neardup_pairs(ad-hoc)" -> Dedup.neardupPairs(Dedup.withMutants(docs)),
       "window_dup(ad-hoc)" -> Dedup.windowDup(Dedup.withMutants(docs)),
-      "top_terms(ad-hoc)" -> TextAnalysis.topTerms(docs, tfStore = None)
+      "top_terms(ad-hoc)" -> TextAnalysis.topTerms(docs, tfStore = None),
+      // semantic_dedup's pre-closure stage (assignment + capped cell self-join) —
+      // the CC loop itself executes per round and is plan-audited via these same
+      // join shapes inside connectedComponents
+      "semantic_dedup(edges)" -> graft.operators.Similarity.semanticDedupEdges(
+        graft.operators.Similarity.withEmbMutants(
+          spark.read.parquet(s"$sfDir/embeddings.parquet")))
     ).flatMap { case (n, df) => assertNoQuadraticJoin(n, df) }
     assert(offenders.isEmpty, s"quadratic join operators in plans: $offenders")
   }
