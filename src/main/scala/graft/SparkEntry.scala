@@ -394,6 +394,8 @@ object SparkEntry {
     // ---- sessionization (events table, window-function family) -------------------
     "sessionize" -> ((s, dir) => graft.operators.Sessions.sessionize(
       s.read.parquet(s"$dir/events.parquet"))),
+    "asof_join" -> ((s, dir) => graft.operators.AsOf.asofJoin(
+      s.read.parquet(s"$dir/events.parquet"))),
     // ---- text analysis -----------------------------------------------------------
     "text_quality" -> ((s, dir) => TextAnalysis.quality(documents(s, dir))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(documents(s, dir))),
@@ -473,6 +475,7 @@ object SparkEntry {
     "ivf_train" -> OracleSqlSim.ivfTrain,
     "semantic_dedup" -> OracleSqlSim.semanticDedup,
     "sessionize" -> OracleSqlRef.sessionize,
+    "asof_join" -> OracleSqlRef.asofJoin,
     "text_quality" -> OracleSqlDedup.textQuality,
     "lang_id" -> OracleSqlDedup.langId,
     "token_stats" -> OracleSqlDedup.tokenStats,

@@ -67,6 +67,36 @@ object OracleSqlRef {
       |FROM a GROUP BY user_id, session_idx
       |ORDER BY user_id, session_idx""".stripMargin
 
+  /** Mirror of [[graft.operators.AsOf.asofJoin]]: the identical union + running
+    * last-ignore-nulls window (the chunked heavy-user route is output-invisible by
+    * construction and proof — AsOfSpec — so ONE oracle covers both routes). Side
+    * types interpolate from the Scala constants; the two engines share the total
+    * order (ts_us, is_left, event_id). */
+  val asofJoin: String =
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events
+       |),
+       |u AS (
+       |  SELECT event_id, user_id, ts_us, 1 AS is_left,
+       |         CAST(NULL AS BIGINT) AS r_id, CAST(NULL AS BIGINT) AS r_ts
+       |  FROM ev WHERE event_type = ${q(graft.operators.AsOf.LeftType)}
+       |  UNION ALL
+       |  SELECT event_id, user_id, ts_us, 0, event_id, ts_us
+       |  FROM ev WHERE event_type = ${q(graft.operators.AsOf.RightType)}
+       |),
+       |m AS (
+       |  SELECT event_id, user_id, ts_us, is_left,
+       |         last_value(r_id IGNORE NULLS) OVER w AS matched_event_id,
+       |         last_value(r_ts IGNORE NULLS) OVER w AS m_ts
+       |  FROM u
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, is_left, event_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT event_id, user_id, CAST(ts_us AS BIGINT) AS ts_us,
+       |       CAST(matched_event_id AS BIGINT) AS matched_event_id,
+       |       CAST(ts_us - m_ts AS BIGINT) AS gap_us
+       |FROM m WHERE is_left = 1 ORDER BY event_id""".stripMargin
+
   val langJoin: String = {
     val mapValues = corpusToTess.map { case (a, b) => s"(${q(a)}, ${q(b)})" }
       .mkString(", ")
