@@ -396,6 +396,8 @@ object SparkEntry {
       s.read.parquet(s"$dir/events.parquet"))),
     "asof_join" -> ((s, dir) => graft.operators.AsOf.asofJoin(
       s.read.parquet(s"$dir/events.parquet"))),
+    "range_join" -> ((s, dir) => graft.operators.RangeJoin.rangeJoin(
+      s.read.parquet(s"$dir/events.parquet"))),
     // ---- text analysis -----------------------------------------------------------
     "text_quality" -> ((s, dir) => TextAnalysis.quality(documents(s, dir))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(documents(s, dir))),
@@ -476,6 +478,7 @@ object SparkEntry {
     "semantic_dedup" -> OracleSqlSim.semanticDedup,
     "sessionize" -> OracleSqlRef.sessionize,
     "asof_join" -> OracleSqlRef.asofJoin,
+    "range_join" -> OracleSqlRef.rangeJoin,
     "text_quality" -> OracleSqlDedup.textQuality,
     "lang_id" -> OracleSqlDedup.langId,
     "token_stats" -> OracleSqlDedup.tokenStats,

@@ -97,6 +97,27 @@ object OracleSqlRef {
        |       CAST(ts_us - m_ts AS BIGINT) AS gap_us
        |FROM m WHERE is_left = 1 ORDER BY event_id""".stripMargin
 
+  /** Mirror of [[graft.operators.RangeJoin.rangeJoin]] — deliberately the
+    * UNDECOMPOSED theta join (no time chunks), so the Spark side's chunked
+    * equi-join decomposition is verified against an independent formulation. */
+  val rangeJoin: String =
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events
+       |),
+       |inc AS (
+       |  SELECT event_id AS incident_id, ts_us AS lo_us,
+       |         ts_us + ${graft.operators.RangeJoin.WindowUs} AS hi_us
+       |  FROM ev WHERE event_type = ${q(graft.operators.RangeJoin.IncidentType)}
+       |)
+       |SELECT i.incident_id, CAST(i.lo_us AS BIGINT) AS lo_us,
+       |       CAST(count(*) AS BIGINT) AS n_events,
+       |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       |       CAST(count(DISTINCT e.event_type) AS BIGINT) AS n_types,
+       |       CAST(max(e.ts_us) - i.lo_us AS BIGINT) AS span_us
+       |FROM inc i JOIN ev e ON e.ts_us >= i.lo_us AND e.ts_us < i.hi_us
+       |GROUP BY i.incident_id, i.lo_us
+       |ORDER BY i.incident_id""".stripMargin
+
   val langJoin: String = {
     val mapValues = corpusToTess.map { case (a, b) => s"(${q(a)}, ${q(b)})" }
       .mkString(", ")
