@@ -402,6 +402,7 @@ object SparkEntry {
     "text_quality" -> ((s, dir) => TextAnalysis.quality(documents(s, dir))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(documents(s, dir))),
     "token_stats" -> ((s, dir) => TextAnalysis.tokenStats(documents(s, dir))),
+    "token_quantiles" -> ((s, dir) => TextAnalysis.tokenQuantiles(documents(s, dir))),
     "fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(documents(s, dir))),
     "normalize_text" -> ((s, dir) =>
       TextAnalysis.normalizeText(TextAnalysis.withUnicodeNoise(documents(s, dir)))),
@@ -482,6 +483,7 @@ object SparkEntry {
     "text_quality" -> OracleSqlDedup.textQuality,
     "lang_id" -> OracleSqlDedup.langId,
     "token_stats" -> OracleSqlDedup.tokenStats,
+    "token_quantiles" -> OracleSqlDedup.tokenQuantiles,
     "fingerprint" -> OracleSqlDedup.fingerprint,
     "normalize_text" -> graft.functions.OracleSqlText.normalizeText,
     "term_df" -> graft.functions.OracleSqlText.termDf,

@@ -85,6 +85,31 @@ object OracleSqlDedup {
       |       CAST(list_aggregate(list_transform(t, x -> CAST(floor((length(x) + 3) / 4.0) AS BIGINT)), 'sum') AS BIGINT) AS n_subwords
       |FROM tk ORDER BY doc_id""".stripMargin
 
+  /** Mirror of [[graft.operators.TextAnalysis.tokenQuantiles]] — the same
+    * histogram + cumulative-window + ceil-threshold formulation, quantile points
+    * interpolated from the Scala constant, all-integer arithmetic (`//`). */
+  val tokenQuantiles: String = {
+    val points = graft.operators.TextAnalysis.QuantilePoints.mkString(", ")
+    s"""WITH hist AS (
+       |  SELECT lang, len(string_split(text, ' ')) AS v, count(*) AS cnt
+       |  FROM documents GROUP BY lang, v
+       |),
+       |cum AS (
+       |  SELECT lang, v, sum(cnt) OVER (PARTITION BY lang ORDER BY v
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM hist
+       |),
+       |qs AS (
+       |  SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_docs, CAST(t.q AS BIGINT) AS q
+       |  FROM hist, UNNEST([$points]) AS t(q) GROUP BY lang, t.q
+       |)
+       |SELECT qs.lang, qs.q, qs.n_docs, CAST(min(c.v) AS BIGINT) AS value
+       |FROM qs JOIN cum c ON c.lang = qs.lang
+       |  AND c.cum >= (qs.q * qs.n_docs + 99) // 100
+       |GROUP BY qs.lang, qs.q, qs.n_docs
+       |ORDER BY qs.lang, qs.q""".stripMargin
+  }
+
   val fingerprint: String =
     """WITH tk AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents

@@ -99,6 +99,50 @@ object TextAnalysis {
     ).orderBy(col("doc_id"))
   }
 
+  /** Quantile points reported by [[tokenQuantiles]] (percent, integer). */
+  val QuantilePoints = Seq(25, 50, 75, 90, 99)
+
+  /**
+   * EXACT per-lang quantiles of the document token count (the length-distribution
+   * row of a dataset card: median/p90/p99 doc length per language), computed the
+   * scale-right way for an integer-valued metric: HISTOGRAM + CUMULATIVE WINDOW,
+   * never a per-group sort of the corpus.
+   *
+   *   1. histogram: groupBy(lang, n_tokens) count — map-side partial agg over
+   *      BOUNDED keys (|langs| x |distinct lengths|, independent of corpus rows);
+   *   2. cumulative counts: one window over the histogram (10^3-10^5 rows total);
+   *   3. quantile q = the smallest value whose cumulative count reaches
+   *      ceil(q*n/100) (inverted-CDF / type-1 convention, pinned by QuantileSpec's
+   *      single-threaded oracle) — extracted by joining the quantile dimension
+   *      against the cumulative histogram, all arithmetic BIGINT DIV (a double
+   *      division would lose exactness past 2^53 at trillion-doc scale).
+   *
+   * The alternative everyone reaches for — `percentile` / `Window.orderBy(v)` over
+   * the raw rows — sorts the full corpus per group; `approx_percentile` gives up
+   * exactness. On a bounded integer domain the histogram IS the exact sufficient
+   * statistic, at one map-side-combine shuffle.
+   *
+   * Output: (lang, q, n_docs, value) — all BIGINT but lang, ordered (lang, q).
+   */
+  def tokenQuantiles(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = documents
+      .select(col("lang"), qualityMetrics(col("text")).nTok.as("v"))
+      .groupBy(col("lang"), col("v")).agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum",
+      sum(col("cnt")).over(Window.partitionBy(col("lang")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val qs = hist.groupBy(col("lang")).agg(sum(col("cnt")).as("n_docs"))
+      .select(col("lang"), col("n_docs"),
+        explode(lit(QuantilePoints.map(_.toLong).toArray)).as("q"))
+    qs.join(cum, Seq("lang"))
+      .filter(col("cum") >= expr("(q * n_docs + 99) DIV 100"))
+      .groupBy(col("lang"), col("q"), col("n_docs"))
+      .agg(min(col("v")).as("value"))
+      .select(col("lang"), col("q"), col("n_docs"), col("value"))
+      .orderBy(col("lang"), col("q"))
+  }
+
   /** Corpus term statistics: (term, df, cf) — document frequency and corpus frequency
     * in one exploded aggregation (the vocabulary/inverted-index building block of a
     * pretraining pipeline). One shuffle on the term; uniform by construction. */
