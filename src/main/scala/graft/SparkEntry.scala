@@ -391,6 +391,8 @@ object SparkEntry {
     "ivf_train" -> ((s, dir) => Similarity.ivfTrain(embeddings(s, dir))),
     "semantic_dedup" -> ((s, dir) =>
       Similarity.semanticDedup(Similarity.withEmbMutants(embeddings(s, dir)))),
+    "knn_graph" -> ((s, dir) =>
+      Similarity.knnGraph(Similarity.withEmbMutants(embeddings(s, dir)))),
     // ---- sessionization (events table, window-function family) -------------------
     "sessionize" -> ((s, dir) => graft.operators.Sessions.sessionize(
       s.read.parquet(s"$dir/events.parquet"))),
@@ -477,6 +479,7 @@ object SparkEntry {
     "ivf_topk" -> OracleSqlSim.ivfTopK,
     "ivf_train" -> OracleSqlSim.ivfTrain,
     "semantic_dedup" -> OracleSqlSim.semanticDedup,
+    "knn_graph" -> OracleSqlSim.knnGraph,
     "sessionize" -> OracleSqlRef.sessionize,
     "asof_join" -> OracleSqlRef.asofJoin,
     "range_join" -> OracleSqlRef.rangeJoin,

@@ -94,6 +94,33 @@ object OracleSqlSim {
        |SELECT vec_a, vec_b, cos_e6 FROM pairs
        |WHERE cos_e6 >= 900000 ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Mirror of [[graft.operators.Similarity.knnGraph]]: both-direction co-bucket
+    * candidates (deduped across bands, occupancy-capped) ranked per vertex by
+    * (cos desc, neighbor_id) — the same tie-break [[annTopK]] pins for TopKAgg. */
+  val knnGraph: String =
+    s"""$mutantCtes,
+       |bands AS (
+       |$lshBandsSql
+       |),
+       |bandsc AS (
+       |  SELECT * FROM bands
+       |  QUALIFY count(*) OVER (PARTITION BY band, key) <= ${graft.operators.Dedup.MaxBucketOccupancy}
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id, b2.vec_id AS neighbor_id,
+       |         ${cosE6(dot("a.q", "b2.q"), "a.n2", "b2.n2")} AS cos_e6
+       |  FROM bandsc a JOIN bandsc b2
+       |    ON a.band = b2.band AND a.key = b2.key AND a.vec_id <> b2.vec_id
+       |),
+       |ranked AS (
+       |  SELECT vec_id, neighbor_id, cos_e6,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY cos_e6 DESC, neighbor_id) AS rn
+       |  FROM cand
+       |)
+       |SELECT vec_id, CAST(rn AS BIGINT) AS "rank", neighbor_id, cos_e6
+       |FROM ranked WHERE rn <= ${graft.operators.Similarity.DefaultK}
+       |ORDER BY vec_id, rn""".stripMargin
+
   /** Mirrors [[graft.operators.Similarity.embedNeardupAudit]]: the registered exact
     * all-pairs query runs on the deterministic vec_id % AuditMod == 0 audit subset
     * (AuditMod = 4 divides the mutant stride 100000, so sampled vectors keep their

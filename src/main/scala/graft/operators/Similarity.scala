@@ -185,6 +185,47 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /**
+   * kNN GRAPH over the mutant-widened embedding set: per vector, its top-k nearest
+   * neighbors RESTRICTED TO LSH-bucket candidates — the adjacency structure
+   * graph-based pipelines start from (NN-descent seeding, HNSW layer-0 init,
+   * connectivity clustering), where [[annLshPairs]] only emits a thresholded global
+   * pair list. Candidates are the sign-band co-bucket pairs in BOTH directions
+   * (each vertex ranks its own neighborhood), deduped across bands, under the
+   * shared degenerate-bucket occupancy cap; per-vertex state is the bounded
+   * [[TopKAgg]] — map-side partial top-k, O(k·partitions) shuffle, never a
+   * Window sort over all candidate edges. Ties rank by neighbor_id (same
+   * convention the [[annTopK]] oracle pins). Cross-bucket misses are the
+   * documented LSH recall tradeoff; the planted mutant twins (cos ≈ 0.9999,
+   * co-bucketed in every band by construction with overwhelming probability)
+   * are each other's rank-1 edge — asserted in KnnGraphSpec.
+   *
+   * Output: (vec_id, rank, neighbor_id, cos_e6), ordered (vec_id, rank).
+   */
+  def knnGraph(embWithMutants: DataFrame, k: Int = DefaultK): DataFrame = {
+    val v = quantized(embWithMutants)
+      .withColumn("bands", signBands(col("q")))
+      .localCheckpoint(eager = false) // both self-join sides + the cap read it
+    val bucketed = Dedup.dropOversized(
+      v.select(col("vec_id"), col("q"), col("n2"), explode(col("bands")).as("bk"))
+        .select(col("vec_id"), col("q"), col("n2"), col("bk.band"), col("bk.key")),
+      Seq("band", "key"))
+    val topk = udaf(new TopKAgg(k))
+    bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
+        cosE6(doti(col("a.q"), col("b.q")), col("a.n2"), col("b.n2")).as("cos_e6"))
+      .distinct() // a pair co-buckets in several bands; score once per direction
+      .groupBy(col("vec_id"))
+      .agg(topk(col("cos_e6"), col("neighbor_id")).as("tk"))
+      .select(col("vec_id"), posexplode(col("tk.items")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("neighbor_id"), col("col.cos_e6"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
   /** Block count for the exact all-pairs triangle join; parallelism =
     * B(B+1)/2 tasks. Size ~ sqrt(2 x cluster cores) in production. */
   val NeardupBlocks = 8
