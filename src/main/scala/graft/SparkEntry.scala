@@ -389,6 +389,8 @@ object SparkEntry {
       Similarity.embedNeardupAudit(Similarity.withEmbMutants(embeddings(s, dir)))),
     "ivf_topk" -> ((s, dir) => Similarity.ivfTopK(embeddings(s, dir))),
     "ivf_train" -> ((s, dir) => Similarity.ivfTrain(embeddings(s, dir))),
+    "pq_train" -> ((s, dir) => Similarity.pqTrain(embeddings(s, dir))),
+    "pq_encode" -> ((s, dir) => Similarity.pqEncode(embeddings(s, dir))),
     "semantic_dedup" -> ((s, dir) =>
       Similarity.semanticDedup(Similarity.withEmbMutants(embeddings(s, dir)))),
     "knn_graph" -> ((s, dir) =>
@@ -478,6 +480,8 @@ object SparkEntry {
     "embed_neardup" -> OracleSqlSim.embedNeardup,
     "ivf_topk" -> OracleSqlSim.ivfTopK,
     "ivf_train" -> OracleSqlSim.ivfTrain,
+    "pq_train" -> OracleSqlSim.pqTrain,
+    "pq_encode" -> OracleSqlSim.pqEncode,
     "semantic_dedup" -> OracleSqlSim.semanticDedup,
     "knn_graph" -> OracleSqlSim.knnGraph,
     "sessionize" -> OracleSqlRef.sessionize,

@@ -208,6 +208,82 @@ object OracleSqlSim {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** Shared CTE chain for the PQ mirrors: subvector view + PqIters unrolled Lloyd
+    * rounds PER SUBSPACE, generated from the same Scala constants the operator
+    * uses. Ends with `cn<iters>` (trained codebook) and `s<iters>` (final
+    * assignment) available. */
+  private def pqCtes: String = {
+    import graft.operators.Similarity.{PqInitMod, PqIters, PqSubDim, PqSubspaces}
+    def n2Of(cq: String): String =
+      s"CAST(list_sum(list_transform(list_zip($cq, $cq), z -> z[1] * z[2])) AS BIGINT)"
+    val subList = (0 until PqSubspaces).mkString(", ")
+    val rounds = (1 to PqIters).map { i =>
+      s"""a$i AS (
+         |  SELECT sv.vec_id, sv.sub, sv.sq, c.cell,
+         |         sv.sn2 + c.cn2 - 2 * ${dot("sv.sq", "c.cq")} AS d2
+         |  FROM svn sv JOIN cn${i - 1} c ON c.sub = sv.sub
+         |),
+         |s$i AS (
+         |  SELECT vec_id, sub, sq, cell FROM a$i
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cell) = 1
+         |),
+         |e$i AS (
+         |  SELECT sub, cell, CAST(t.i AS BIGINT) AS dim, sq[t.i + 1] AS val
+         |  FROM s$i, UNNEST(generate_series(0, len(sq) - 1)) AS t(i)
+         |),
+         |m$i AS (
+         |  SELECT sub, cell, dim,
+         |         CAST(floor(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS c
+         |  FROM e$i GROUP BY sub, cell, dim
+         |),
+         |c$i AS (SELECT sub, cell, list(c ORDER BY dim) AS cq FROM m$i GROUP BY sub, cell),
+         |cn$i AS (SELECT sub, cell, cq, ${n2Of("cq")} AS cn2 FROM c$i)""".stripMargin
+    }.mkString(",\n")
+    s"""$rawCtes,
+       |sv AS (
+       |  SELECT vec_id, CAST(t.s AS BIGINT) AS sub,
+       |         q[(t.s * $PqSubDim + 1):(t.s * $PqSubDim + $PqSubDim)] AS sq
+       |  FROM vn, UNNEST([$subList]) AS t(s)
+       |),
+       |svn AS (
+       |  SELECT vec_id, sub, sq, ${n2Of("sq")} AS sn2 FROM sv
+       |),
+       |cn0 AS (
+       |  SELECT sub, vec_id AS cell, sq AS cq, sn2 AS cn2
+       |  FROM svn WHERE vec_id % $PqInitMod = 0
+       |),
+       |$rounds""".stripMargin
+  }
+
+  /** Mirror of [[graft.operators.Similarity.pqTrain]]. */
+  val pqTrain: String = {
+    import graft.operators.Similarity.PqIters
+    s"""$pqCtes,
+       |nm AS (
+       |  SELECT sub, cell, CAST(count(*) AS BIGINT) AS n_members
+       |  FROM s$PqIters GROUP BY sub, cell
+       |)
+       |SELECT m.sub, m.cell, m.dim, m.c AS c_q, nm.n_members
+       |FROM m$PqIters m JOIN nm USING (sub, cell)
+       |ORDER BY sub, cell, dim""".stripMargin
+  }
+
+  /** Mirror of [[graft.operators.Similarity.pqEncode]]: final assignment of every
+    * subvector against the trained codebook, emitting code + residual d2. */
+  val pqEncode: String = {
+    import graft.operators.Similarity.PqIters
+    s"""$pqCtes,
+       |af AS (
+       |  SELECT sv.vec_id, sv.sub, c.cell,
+       |         sv.sn2 + c.cn2 - 2 * ${dot("sv.sq", "c.cq")} AS d2
+       |  FROM svn sv JOIN cn$PqIters c ON c.sub = sv.sub
+       |)
+       |SELECT vec_id, sub, cell AS code, CAST(d2 AS BIGINT) AS d2
+       |FROM af
+       |QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cell) = 1
+       |ORDER BY vec_id, sub""".stripMargin
+  }
+
   /** Mirror of Similarity.ivfTrain: KmIters unrolled Lloyd rounds in exact
     * arithmetic — integer squared-L2 assignment with (d2, cell) tie-breaking
     * (row_number QUALIFY == Spark's min(struct)), floor-of-double per-dim means,

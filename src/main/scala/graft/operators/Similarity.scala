@@ -438,6 +438,127 @@ object Similarity {
       .orderBy(col("cell"), col("dim"))
   }
 
+  // ---- product quantization (PQ) --------------------------------------------------
+
+  /** PQ geometry: [[PqSubspaces]] subspaces of [[PqSubDim]] dims each (the 64-dim
+    * corpus splits 4 x 16); init/iteration constants mirror [[KmInitMod]]/[[KmIters]]
+    * (initial codes = the subvectors of vec_id % PqInitMod == 0, cell id = vec_id). */
+  val PqSubspaces = 4
+  val PqSubDim = 16
+  val PqInitMod = 100
+  val PqIters = 2
+
+  /** Subvector view: (vec_id, sub, sq:array<long>, sn2) — each vector exploded into
+    * its [[PqSubspaces]] quantized subvectors. The explode is a constant literal
+    * (bounded fan-out M, inside codegen), `slice` start is computed per row. */
+  private def subquantized(emb: DataFrame): DataFrame =
+    quantized(emb)
+      .select(col("vec_id"), col("q"),
+        explode(typedLit((0 until PqSubspaces).map(_.toLong))).as("sub"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("q"), (col("sub") * PqSubDim + 1).cast("int"), lit(PqSubDim)).as("sq"))
+      .withColumn("sn2", doti(col("sq"), col("sq")))
+
+  /** The shared Lloyd loop per subspace: returns the trained codebook rows
+    * (sub, cell, cq, cn2) plus member counts per (sub, cell). Identical exactness
+    * contract as [[ivfTrain]] — integer squared-L2 assignment with (d2, cell)
+    * tie-break, floor-of-double per-dim means, norms recomputed from floored means —
+    * with every stage carrying the subspace key, so ALL M codebooks train in the
+    * same distributed jobs (one assignment pass + one K·M·dim stats pass per round,
+    * never M sequential loops). */
+  private def pqFit(emb: DataFrame, initMod: Int, iters: Int)
+      : (Seq[(Long, Long, Seq[Long], Long)], Map[(Long, Long), Long]) = {
+    require(iters >= 1, "pqFit needs at least one Lloyd iteration")
+    val sv = subquantized(emb).localCheckpoint(eager = false) // scanned once per round
+    var cents: Seq[(Long, Long, Seq[Long], Long)] = // (sub, cell, cq, cn2)
+      sv.filter(col("vec_id") % initMod === 0)
+        .select(col("sub"), col("vec_id"), col("sq"), col("sn2"))
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toList, r.getLong(3)))
+        .sortBy(c => (c._1, c._2))
+    require(cents.nonEmpty, s"no initial PQ codes at vec_id % $initMod == 0")
+    require(cents.head._3.size == PqSubDim,
+      s"corpus dimension is not ${PqSubspaces}x$PqSubDim")
+    var members: Map[(Long, Long), Long] = Map.empty
+
+    for (_ <- 1 to iters) {
+      val assigned = sv
+        .select(col("vec_id"), col("sub"), col("sq"), col("sn2"),
+          explode(typedLit(cents)).as("c"))
+        .filter(col("c._1") === col("sub"))
+        .withColumn("d2",
+          col("sn2") + col("c._4") - lit(2L) * doti(col("sq"), col("c._3")))
+        .groupBy(col("vec_id"), col("sub"), col("sq"))
+        .agg(min(struct(col("d2").as("d2"), col("c._2").as("cell"))).as("mc"))
+        .select(col("sub"), col("sq"), col("mc.cell").as("cell"))
+      // per-(sub, cell, dim) sums -> floor-mean codes; M*K*subdim rows to the driver
+      val stats = assigned
+        .select(col("sub"), col("cell"), posexplode(col("sq")))
+        .groupBy(col("sub"), col("cell"), col("pos").cast("long").as("dim"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .select(col("sub"), col("cell"), col("dim"),
+          floor(col("s") / col("n")).cast("long").as("c"), col("n"))
+        .collect()
+      members = stats.filter(_.getLong(2) == 0L)
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+      cents = stats.groupBy(r => (r.getLong(0), r.getLong(1))).toSeq
+        .map { case ((sub, cell), rows) =>
+          val q = rows.sortBy(_.getLong(2)).map(_.getLong(3)).toList
+          (sub, cell, q, q.map(x => x * x).sum)
+        }.sortBy(c => (c._1, c._2))
+    }
+    (cents, members)
+  }
+
+  /**
+   * PRODUCT-QUANTIZATION codebook training in-engine — the compression half of the
+   * IVF-PQ stack every 10^9+-vector ANN deployment runs (Jégou et al. 2011): each
+   * vector is coded as M = [[PqSubspaces]] independent sub-codebook ids, so a
+   * 64-dim vector stores in M bytes and asymmetric distances evaluate from M
+   * table lookups. Training = [[PqIters]] Lloyd rounds per subspace, all M
+   * subspaces in the SAME distributed passes; the codebook is bounded
+   * driver/broadcast model state (the [[fanOut]] contract — train on a sample,
+   * encode the full corpus at 10^12). Exactness contract of [[ivfTrain]], so the
+   * whole trajectory hash-matches a DuckDB mirror generated from the same
+   * constants. Output (sub, cell, dim, c_q, n_members), ordered.
+   */
+  def pqTrain(emb: DataFrame, initMod: Int = PqInitMod,
+      iters: Int = PqIters): DataFrame = {
+    val spark = emb.sparkSession
+    val (cents, members) = pqFit(emb, initMod, iters)
+    import spark.implicits._
+    cents.flatMap { case (sub, cell, q, _) =>
+      q.zipWithIndex.map { case (c, dim) =>
+        (sub, cell, dim.toLong, c, members((sub, cell))) }
+    }.toDF("sub", "cell", "dim", "c_q", "n_members")
+      .orderBy(col("sub"), col("cell"), col("dim"))
+  }
+
+  /**
+   * PQ ENCODING of the full corpus against the [[pqTrain]] codebook: per
+   * (vector, subspace) the nearest code by exact integer squared-L2 with the
+   * (d2, cell) tie-break, emitting the code AND the residual d2 (the per-subspace
+   * quantization distortion an IVF-PQ deployment monitors for codebook drift).
+   * The codebook fans out as a literal (M·K rows — bounded model state); the
+   * corpus is scanned once, nothing but the M-row-per-vector codes shuffle.
+   * Output (vec_id, sub, code, d2), ordered.
+   */
+  def pqEncode(emb: DataFrame, initMod: Int = PqInitMod,
+      iters: Int = PqIters): DataFrame = {
+    val (cents, _) = pqFit(emb, initMod, iters)
+    subquantized(emb)
+      .select(col("vec_id"), col("sub"), col("sq"), col("sn2"),
+        explode(typedLit(cents)).as("c"))
+      .filter(col("c._1") === col("sub"))
+      .withColumn("d2",
+        col("sn2") + col("c._4") - lit(2L) * doti(col("sq"), col("c._3")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d2").as("d2"), col("c._2").as("cell"))).as("mc"))
+      .select(col("vec_id"), col("sub"), col("mc.cell").as("code"),
+        col("mc.d2").as("d2"))
+      .orderBy(col("vec_id"), col("sub"))
+  }
+
   /**
    * IVF top-k: cells from a deterministic centroid subset (vec_id % centroidMod == 0),
    * every vector assigned to its nearest cell by EXACT integer squared-L2
