@@ -391,6 +391,7 @@ object SparkEntry {
     "ivf_train" -> ((s, dir) => Similarity.ivfTrain(embeddings(s, dir))),
     "pq_train" -> ((s, dir) => Similarity.pqTrain(embeddings(s, dir))),
     "pq_encode" -> ((s, dir) => Similarity.pqEncode(embeddings(s, dir))),
+    "pq_topk" -> ((s, dir) => Similarity.pqTopK(embeddings(s, dir))),
     "semantic_dedup" -> ((s, dir) =>
       Similarity.semanticDedup(Similarity.withEmbMutants(embeddings(s, dir)))),
     "knn_graph" -> ((s, dir) =>
@@ -482,6 +483,7 @@ object SparkEntry {
     "ivf_train" -> OracleSqlSim.ivfTrain,
     "pq_train" -> OracleSqlSim.pqTrain,
     "pq_encode" -> OracleSqlSim.pqEncode,
+    "pq_topk" -> OracleSqlSim.pqTopK,
     "semantic_dedup" -> OracleSqlSim.semanticDedup,
     "knn_graph" -> OracleSqlSim.knnGraph,
     "sessionize" -> OracleSqlRef.sessionize,

@@ -284,6 +284,42 @@ object OracleSqlSim {
        |ORDER BY vec_id, sub""".stripMargin
   }
 
+  /** Mirror of [[graft.operators.Similarity.pqTopK]]: corpus codes + per-query
+    * distance tables from the same trained codebook, ADC = sum of per-subspace
+    * table entries, ranked ascending with the neighbor-id tie-break. */
+  val pqTopK: String = {
+    import graft.operators.Similarity.{DefaultK, PqIters, QueryMod}
+    s"""$pqCtes,
+       |af2 AS (
+       |  SELECT sv.vec_id, sv.sub, c.cell,
+       |         sv.sn2 + c.cn2 - 2 * ${dot("sv.sq", "c.cq")} AS d2
+       |  FROM svn sv JOIN cn$PqIters c ON c.sub = sv.sub
+       |),
+       |codes AS (
+       |  SELECT vec_id, sub, cell FROM af2
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cell) = 1
+       |),
+       |dtab AS (
+       |  SELECT sv.vec_id AS query_id, sv.sub, c.cell,
+       |         sv.sn2 + c.cn2 - 2 * ${dot("sv.sq", "c.cq")} AS dq
+       |  FROM svn sv JOIN cn$PqIters c ON c.sub = sv.sub
+       |  WHERE sv.vec_id % $QueryMod = 0
+       |),
+       |adc AS (
+       |  SELECT d.query_id, co.vec_id AS neighbor_id, CAST(sum(d.dq) AS BIGINT) AS adc_d2
+       |  FROM codes co JOIN dtab d ON d.sub = co.sub AND d.cell = co.cell
+       |  WHERE co.vec_id <> d.query_id
+       |  GROUP BY d.query_id, co.vec_id
+       |),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, adc_d2,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rn
+       |  FROM adc
+       |)
+       |SELECT query_id, CAST(rn AS BIGINT) AS "rank", neighbor_id, adc_d2
+       |FROM ranked WHERE rn <= $DefaultK ORDER BY query_id, rn""".stripMargin
+  }
+
   /** Mirror of Similarity.ivfTrain: KmIters unrolled Lloyd rounds in exact
     * arithmetic — integer squared-L2 assignment with (d2, cell) tie-breaking
     * (row_number QUALIFY == Spark's min(struct)), floor-of-double per-dim means,

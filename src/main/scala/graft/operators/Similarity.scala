@@ -560,6 +560,58 @@ object Similarity {
   }
 
   /**
+   * PQ ASYMMETRIC-DISTANCE top-k (ADC, the query path of IVF-PQ): queries score
+   * candidates from their PQ CODES ALONE — approx_d2(q, v) = Σ_s d2(q_s,
+   * codebook[s, code(v_s)]) — so the corpus side of the scan reads M small ints
+   * per vector instead of the full embedding. The per-query DISTANCE TABLES
+   * (|Q|·M·K rows: every query subvector against every code) are computed in one
+   * codegen'd pass against the literal codebook and then BROADCAST against the
+   * codes table — the classic ADC table-lookup join, expressed as a broadcast hash
+   * equi-join on (sub, cell). Per-query results reduce through the bounded
+   * [[TopKAgg]] (ascending distance via negation; ties to the lower neighbor id).
+   *
+   * Exactness: integer subvector distances, so approx_d2 is an exact BIGINT and
+   * the DuckDB mirror (same codebook CTEs) hash-matches. Recall vs exact search
+   * is the documented PQ tradeoff (distortion-bounded); what the gate pins is the
+   * deterministic ADC semantics. Output (query_id, rank, neighbor_id, adc_d2).
+   */
+  def pqTopK(emb: DataFrame, k: Int = DefaultK, queryMod: Int = QueryMod,
+      initMod: Int = PqInitMod, iters: Int = PqIters): DataFrame = {
+    val (cents, _) = pqFit(emb, initMod, iters)
+    val sv = subquantized(emb)
+    // corpus codes: nearest final-codebook cell per (vector, subspace) — the
+    // same assignment pqEncode registers
+    val codes = sv
+      .select(col("vec_id"), col("sub"), col("sq"), col("sn2"),
+        explode(typedLit(cents)).as("c"))
+      .filter(col("c._1") === col("sub"))
+      .withColumn("d2",
+        col("sn2") + col("c._4") - lit(2L) * doti(col("sq"), col("c._3")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d2").as("d2"), col("c._2").as("cell"))).as("mc"))
+      .select(col("vec_id"), col("sub"), col("mc.cell").as("cell"))
+    // per-query distance tables: |Q|·M·K rows, one codegen'd pass
+    val dtab = sv.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("sub"), col("sq"), col("sn2"),
+        explode(typedLit(cents)).as("c"))
+      .filter(col("c._1") === col("sub"))
+      .select(col("query_id"), col("sub"), col("c._2").as("cell"),
+        (col("sn2") + col("c._4") - lit(2L) * doti(col("sq"), col("c._3")))
+          .as("dq"))
+    val topk = udaf(new TopKAgg(k))
+    codes.join(broadcast(dtab), Seq("sub", "cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("dq")).as("adc_d2"))
+      .groupBy(col("query_id"))
+      .agg(topk((-col("adc_d2")).as("neg"), col("vec_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk.items")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("neighbor_id"), (-col("col.cos_e6")).as("adc_d2"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /**
    * IVF top-k: cells from a deterministic centroid subset (vec_id % centroidMod == 0),
    * every vector assigned to its nearest cell by EXACT integer squared-L2
    * (n2a + n2c - 2·dot, ties to the lower centroid id); queries probe the

@@ -101,4 +101,25 @@ class PqSpec extends AnyFunSuite {
     val codebookCells = cents.keySet.map { case (s, cell) => (s.toLong, cell) }
     assert(got.forall(g => codebookCells.contains((g._2, g._3))))
   }
+
+  test("pq_topk equals the single-threaded ADC oracle") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val (cents, _, finalAsg) = oracle
+    val queries = vecs.keys.filter(_ % Similarity.QueryMod == 0).toSeq
+    assert(queries.size >= 2)
+    val expected = queries.flatMap { q =>
+      val adc = vecs.keys.filter(_ != q).map { v =>
+        val dd = (0 until M).map { s =>
+          d2(sq(q, s), cents((s, finalAsg((v, s))._1)))
+        }.sum
+        (v, dd)
+      }.toSeq.sortBy { case (v, dd) => (dd, v) }
+      adc.take(Similarity.DefaultK).zipWithIndex.map { case ((v, dd), i) =>
+        (q, (i + 1).toLong, v, dd)
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = Similarity.pqTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+  }
 }
