@@ -417,6 +417,8 @@ object SparkEntry {
     // ---- training-data hygiene ----------------------------------------------------
     "repetition" -> ((s, dir) => graft.operators.Hygiene.repetition(documents(s, dir))),
     "decontaminate" -> ((s, dir) => graft.operators.Hygiene.decontaminate(documents(s, dir))),
+    "decontaminate_bloom" -> ((s, dir) =>
+      graft.operators.Hygiene.decontaminateBloom(documents(s, dir))),
     "pii_redact" -> ((s, dir) => graft.operators.Hygiene.piiRedact(
       graft.operators.Hygiene.withPii(documents(s, dir)))),
     // ---- corpus curation: mixing + quality funnel ----------------------------------
@@ -499,6 +501,9 @@ object SparkEntry {
     "top_terms" -> graft.functions.OracleSqlText.topTerms,
     "repetition" -> graft.functions.OracleSqlHygiene.repetition,
     "decontaminate" -> graft.functions.OracleSqlHygiene.decontaminate,
+    // identical semantics to decontaminate BY DESIGN (Bloom tier adds no output
+    // change) — sharing the oracle IS the identity proof under the gate
+    "decontaminate_bloom" -> graft.functions.OracleSqlHygiene.decontaminate,
     "pii_redact" -> graft.functions.OracleSqlHygiene.piiRedact,
     "sample_stratified" -> graft.functions.OracleSqlCuration.sampleStratified,
     "source_quota" -> graft.functions.OracleSqlCuration.sourceQuota,

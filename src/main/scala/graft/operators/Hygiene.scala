@@ -34,23 +34,67 @@ object Hygiene {
     ).orderBy(col("doc_id"))
   }
 
-  /** Benchmark decontamination: eval set = every 50th doc; a training doc is
-    * contaminated iff it shares ANY distinct 8-gram with any eval doc.
-    * Output (doc_id, n_hits, contaminated). */
-  def decontaminate(documents: DataFrame, n: Int = 8, evalMod: Int = 50): DataFrame = {
-    def sh(df: DataFrame) = df.select(col("doc_id"),
-      explode(array_distinct(TextAnalysis.shingles(col("text"), n))).as("s"))
-    val evalSh = sh(documents.filter(col("doc_id") % evalMod === 0))
-      .select(col("s")).distinct()
-    val train = documents.filter(col("doc_id") % evalMod =!= 0)
-    val hits = sh(train)
-      .join(broadcast(evalSh), Seq("s"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+  private def shingled(df: DataFrame, n: Int): DataFrame = df.select(col("doc_id"),
+    explode(array_distinct(TextAnalysis.shingles(col("text"), n))).as("s"))
+
+  /** Per-doc hit counts -> the (doc_id, n_hits, contaminated) output contract. */
+  private def hitsToOutput(train: DataFrame, hits: DataFrame): DataFrame =
     train.select(col("doc_id"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         when(coalesce(col("n_hits"), lit(0L)) > 0, 1).otherwise(0).as("contaminated"))
       .orderBy(col("doc_id"))
+
+  /** Benchmark decontamination: eval set = every 50th doc; a training doc is
+    * contaminated iff it shares ANY distinct 8-gram with any eval doc.
+    * Output (doc_id, n_hits, contaminated). */
+  def decontaminate(documents: DataFrame, n: Int = 8, evalMod: Int = 50): DataFrame = {
+    val evalSh = shingled(documents.filter(col("doc_id") % evalMod === 0), n)
+      .select(col("s")).distinct()
+    val train = documents.filter(col("doc_id") % evalMod =!= 0)
+    val hits = shingled(train, n)
+      .join(broadcast(evalSh), Seq("s"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    hitsToOutput(train, hits)
+  }
+
+  /**
+   * The TWO-TIER scale form of [[decontaminate]]: a Bloom filter built over the
+   * eval shingles (distributed `stat.bloomFilter` aggregation, then one compact
+   * broadcast) PRE-FILTERS the training shingle stream before the exact join runs.
+   * The Bloom tier has false positives but NO false negatives, and the exact
+   * semi-join stage removes every false positive — so the output is PROVABLY
+   * byte-identical to [[decontaminate]] (HygieneBloomSpec asserts it at fpp up to
+   * 0.5; the registered query shares the exact form's DuckDB oracle, which is the
+   * same proof under the gate).
+   *
+   * Why it matters at 100 TB: the exact form streams EVERY training shingle into
+   * the broadcast-join probe; with a clean corpus ~all of them miss. The Bloom
+   * tier turns that into a codegen'd-probe discard at ~10 bits/eval-shingle of
+   * broadcast state, so the join stage sees only the contaminated tail + fpp
+   * noise — and a raw eval-shingle set too large to broadcast comfortably still
+   * fits as a filter (1e9 eval shingles ≈ 1.2 GB at 1% fpp vs tens of GB raw).
+   * The probe is a scala UDF by necessity (no user-facing builtin probes a
+   * `util.sketch.BloomFilter`; Spark's own InjectRuntimeFilter uses the same
+   * sketch behind internal expressions) — a one-ScalaUDF island around pure
+   * Catalyst stages, same boundary argument as the OCR engine pool.
+   */
+  def decontaminateBloom(documents: DataFrame, n: Int = 8, evalMod: Int = 50,
+      fpp: Double = 0.01): DataFrame = {
+    val spark = documents.sparkSession
+    val evalSh = shingled(documents.filter(col("doc_id") % evalMod === 0), n)
+      .select(col("s")).distinct()
+      .localCheckpoint(eager = false) // feeds sizing, the filter build, AND the join
+    val expected = math.max(evalSh.count(), 1L) // one tiny job; eval set is bounded
+    val bf = evalSh.stat.bloomFilter("s", expected, fpp)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((s: String) => s != null && bfB.value.mightContainString(s))
+    val train = documents.filter(col("doc_id") % evalMod =!= 0)
+    val hits = shingled(train, n)
+      .filter(mightContain(col("s"))) // tier 1: no false negatives
+      .join(broadcast(evalSh), Seq("s")) // tier 2: exact — removes false positives
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    hitsToOutput(train, hits)
   }
 
   private val EmailRe = "[a-z0-9]+@[a-z]+[.][a-z]+"
