@@ -403,6 +403,7 @@ object SparkEntry {
       s.read.parquet(s"$dir/events.parquet"))),
     "range_join" -> ((s, dir) => graft.operators.RangeJoin.rangeJoin(
       s.read.parquet(s"$dir/events.parquet"))),
+    "zorder_key" -> ((s, dir) => graft.operators.Layout.zorderKey(documents(s, dir))),
     // ---- text analysis -----------------------------------------------------------
     "text_quality" -> ((s, dir) => TextAnalysis.quality(documents(s, dir))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(documents(s, dir))),
@@ -491,6 +492,7 @@ object SparkEntry {
     "sessionize" -> OracleSqlRef.sessionize,
     "asof_join" -> OracleSqlRef.asofJoin,
     "range_join" -> OracleSqlRef.rangeJoin,
+    "zorder_key" -> OracleSqlRef.zorderKey,
     "text_quality" -> OracleSqlDedup.textQuality,
     "lang_id" -> OracleSqlDedup.langId,
     "token_stats" -> OracleSqlDedup.tokenStats,

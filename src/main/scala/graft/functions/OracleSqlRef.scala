@@ -118,6 +118,24 @@ object OracleSqlRef {
        |GROUP BY i.incident_id, i.lo_us
        |ORDER BY i.incident_id""".stripMargin
 
+  /** Mirror of [[graft.operators.Layout.zorderKey]]: the same bit interleave, lang
+    * CASE dimension generated from the Scala constant. */
+  val zorderKey: String = {
+    import graft.operators.Layout.{LangIndex, ZBits}
+    val cases = LangIndex.map { case (l, i) => s"WHEN ${q(l)} THEN $i" }.mkString(" ")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         CAST(CASE lang $cases ELSE ${LangIndex.size} END AS BIGINT) AS lang_idx,
+       |         CAST(least(n_chars, 65535) AS BIGINT) AS n_c
+       |  FROM documents
+       |)
+       |SELECT doc_id, lang_idx, n_c,
+       |       CAST(list_sum(list_transform(generate_series(0, ${ZBits - 1}), i ->
+       |         (((lang_idx >> i) & 1) << (2*i+1)) + (((n_c >> i) & 1) << (2*i))))
+       |         AS BIGINT) AS zval
+       |FROM d ORDER BY doc_id""".stripMargin
+  }
+
   val langJoin: String = {
     val mapValues = corpusToTess.map { case (a, b) => s"(${q(a)}, ${q(b)})" }
       .mkString(", ")
