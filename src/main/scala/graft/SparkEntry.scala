@@ -404,6 +404,8 @@ object SparkEntry {
     "range_join" -> ((s, dir) => graft.operators.RangeJoin.rangeJoin(
       s.read.parquet(s"$dir/events.parquet"))),
     "zorder_key" -> ((s, dir) => graft.operators.Layout.zorderKey(documents(s, dir))),
+    "event_rates" -> ((s, dir) => graft.operators.Sessions.eventRates(
+      s.read.parquet(s"$dir/events.parquet"))),
     // ---- text analysis -----------------------------------------------------------
     "text_quality" -> ((s, dir) => TextAnalysis.quality(documents(s, dir))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(documents(s, dir))),
@@ -493,6 +495,7 @@ object SparkEntry {
     "asof_join" -> OracleSqlRef.asofJoin,
     "range_join" -> OracleSqlRef.rangeJoin,
     "zorder_key" -> OracleSqlRef.zorderKey,
+    "event_rates" -> OracleSqlRef.eventRates,
     "text_quality" -> OracleSqlDedup.textQuality,
     "lang_id" -> OracleSqlDedup.langId,
     "token_stats" -> OracleSqlDedup.tokenStats,

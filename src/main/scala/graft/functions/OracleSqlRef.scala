@@ -97,6 +97,13 @@ object OracleSqlRef {
        |       CAST(ts_us - m_ts AS BIGINT) AS gap_us
        |FROM m WHERE is_left = 1 ORDER BY event_id""".stripMargin
 
+  /** Mirror of [[graft.operators.Sessions.eventRates]]: epoch-aligned 1-hour
+    * buckets (`time_bucket` == Spark's epoch-origin tumbling `window()`). */
+  val eventRates: String =
+    """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS win_start_us,
+      |       event_type, CAST(count(*) AS BIGINT) AS n_events
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Mirror of [[graft.operators.RangeJoin.rangeJoin]] — deliberately the
     * UNDECOMPOSED theta join (no time chunks), so the Spark side's chunked
     * equi-join decomposition is verified against an independent formulation. */

@@ -122,6 +122,24 @@ object Sessions {
       .withColumn("session_idx", col("__base") + col("__local_idx"))
   }
 
+  /**
+   * Tumbling-window event rates: per (1-hour window, event_type) counts via the
+   * `window()` builtin — the batch face of the streaming windowed-metrics surface
+   * ([[graft.streaming.StreamingExtract]]'s windowedMetrics uses the identical
+   * expression), under the DuckDB gate via epoch-aligned bucket starts
+   * (`time_bucket` mirrors Spark's epoch-origin tumbling windows exactly on the
+   * UTC-session NTZ timestamps). One map-side-partial shuffle over
+   * (window, type) keys — cardinality = timespan/1h x |types|, independent of
+   * event volume. Output (win_start_us, event_type, n_events), totally ordered.
+   */
+  def eventRates(events: DataFrame): DataFrame =
+    events.select(col("event_type"), col("ts").cast("timestamp").as("t"))
+      .groupBy(window(col("t"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("n_events"))
+      .orderBy(col("win_start_us"), col("event_type"))
+
   /** Session-level rollup WITHOUT the final sort (shared by both routes). */
   private def rollup(assigned: DataFrame): DataFrame =
     assigned
