@@ -392,6 +392,7 @@ object SparkEntry {
     "pq_train" -> ((s, dir) => Similarity.pqTrain(embeddings(s, dir))),
     "pq_encode" -> ((s, dir) => Similarity.pqEncode(embeddings(s, dir))),
     "pq_topk" -> ((s, dir) => Similarity.pqTopK(embeddings(s, dir))),
+    "ivfpq_topk" -> ((s, dir) => Similarity.ivfPqTopK(embeddings(s, dir))),
     "semantic_dedup" -> ((s, dir) =>
       Similarity.semanticDedup(Similarity.withEmbMutants(embeddings(s, dir)))),
     "knn_graph" -> ((s, dir) =>
@@ -489,6 +490,7 @@ object SparkEntry {
     "pq_train" -> OracleSqlSim.pqTrain,
     "pq_encode" -> OracleSqlSim.pqEncode,
     "pq_topk" -> OracleSqlSim.pqTopK,
+    "ivfpq_topk" -> OracleSqlSim.ivfPqTopK,
     "semantic_dedup" -> OracleSqlSim.semanticDedup,
     "knn_graph" -> OracleSqlSim.knnGraph,
     "sessionize" -> OracleSqlRef.sessionize,

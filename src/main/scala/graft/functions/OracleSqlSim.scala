@@ -320,6 +320,60 @@ object OracleSqlSim {
        |FROM ranked WHERE rn <= $DefaultK ORDER BY query_id, rn""".stripMargin
   }
 
+  /** Mirror of [[graft.operators.Similarity.ivfPqTopK]]: the IVF coarse CTEs
+    * (assignment + nprobe probing, ivfTopK's contract) composed with the PQ fine
+    * CTEs (codes + per-query distance tables) — candidates restricted to probed
+    * cells, scored by ADC, ranked ascending with the neighbor-id tie-break. */
+  val ivfPqTopK: String = {
+    import graft.operators.Similarity.{CentroidMod, DefaultK, NprobeCells, PqIters, QueryMod}
+    s"""$pqCtes,
+       |pqaf AS (
+       |  SELECT sv.vec_id, sv.sub, c.cell,
+       |         sv.sn2 + c.cn2 - 2 * ${dot("sv.sq", "c.cq")} AS d2
+       |  FROM svn sv JOIN cn$PqIters c ON c.sub = sv.sub
+       |),
+       |codes AS (
+       |  SELECT vec_id, sub, cell AS code FROM pqaf
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cell) = 1
+       |),
+       |dtab AS (
+       |  SELECT sv.vec_id AS query_id, sv.sub, c.cell AS code,
+       |         sv.sn2 + c.cn2 - 2 * ${dot("sv.sq", "c.cq")} AS dq
+       |  FROM svn sv JOIN cn$PqIters c ON c.sub = sv.sub
+       |  WHERE sv.vec_id % $QueryMod = 0
+       |),
+       |icents AS (SELECT vec_id AS cent_id, q AS icq, n2 AS icn2 FROM vn WHERE vec_id % $CentroidMod = 0),
+       |iasg0 AS (
+       |  SELECT vn.vec_id, c.cent_id,
+       |         row_number() OVER (PARTITION BY vn.vec_id
+       |           ORDER BY vn.n2 + c.icn2 - 2 * ${dot("vn.q", "c.icq")}, c.cent_id) AS rn
+       |  FROM vn, icents c
+       |),
+       |iasg AS (SELECT vec_id, cent_id AS cell FROM iasg0 WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cent_id AS cell
+       |  FROM iasg0 WHERE vec_id % $QueryMod = 0 AND rn <= $NprobeCells
+       |),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM probes p JOIN iasg a ON a.cell = p.cell AND a.vec_id <> p.query_id
+       |),
+       |adc AS (
+       |  SELECT ca.query_id, ca.vec_id AS neighbor_id, CAST(sum(d.dq) AS BIGINT) AS adc_d2
+       |  FROM cand ca
+       |  JOIN codes co ON co.vec_id = ca.vec_id
+       |  JOIN dtab d ON d.query_id = ca.query_id AND d.sub = co.sub AND d.code = co.code
+       |  GROUP BY ca.query_id, ca.vec_id
+       |),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, adc_d2,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rn
+       |  FROM adc
+       |)
+       |SELECT query_id, CAST(rn AS BIGINT) AS "rank", neighbor_id, adc_d2
+       |FROM ranked WHERE rn <= $DefaultK ORDER BY query_id, rn""".stripMargin
+  }
+
   /** Mirror of Similarity.ivfTrain: KmIters unrolled Lloyd rounds in exact
     * arithmetic — integer squared-L2 assignment with (d2, cell) tie-breaking
     * (row_number QUALIFY == Spark's min(struct)), floor-of-double per-dim means,

@@ -612,6 +612,77 @@ object Similarity {
   }
 
   /**
+   * IVF-PQ top-k — the COMPOSED production ANN query (Jégou et al. 2011; the
+   * architecture behind FAISS IVFPQ at 10^9-10^12 vectors): the IVF coarse layer
+   * restricts candidates to the [[NprobeCells]] probed cells per query, and the
+   * PQ layer scores those candidates by ADC from their M-int codes — so the scan
+   * side touches neither full embeddings nor all cells. Composition of the
+   * exact-integer building blocks already under the gate ([[ivfTopK]]'s
+   * assignment/probing, [[pqTopK]]'s codes/tables), so the whole two-layer
+   * trajectory stays hash-exact against a DuckDB mirror that shares both CTE
+   * chains. Candidate flow: probes (broadcast, |Q|·nprobe rows) semi-restrict the
+   * assignment, candidates join their codes (one vec_id-keyed shuffle of M small
+   * ints per vector), distance tables broadcast, bounded TopKAgg ascending.
+   * Output (query_id, rank, neighbor_id, adc_d2).
+   */
+  def ivfPqTopK(emb: DataFrame, k: Int = DefaultK, queryMod: Int = QueryMod,
+      centroidMod: Int = CentroidMod, initMod: Int = PqInitMod,
+      iters: Int = PqIters): DataFrame = {
+    val (cents, _) = pqFit(emb, initMod, iters)
+    val v = quantized(emb)
+    val sv = subquantized(emb)
+    // --- IVF coarse layer (ivfTopK's exact assignment/probing contract) ---
+    val ivfCents = v.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id"), col("q"), col("n2"))
+    def withCentDists(df: DataFrame): DataFrame =
+      fanOut(df.select(col("vec_id"), col("q"), col("n2")), ivfCents,
+        "cent_id", "cq", "cn2")
+        .withColumn("d2",
+          col("n2") + col("cn2") - lit(2L) * doti(col("q"), col("cq")))
+    val assigned = withCentDists(v)
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cent_id"))).as("mc"))
+      .select(col("vec_id"), col("mc.cent_id").as("cell"))
+    val probes = withCentDists(v.filter(col("vec_id") % queryMod === 0))
+      .groupBy(col("vec_id"))
+      .agg(slice(array_sort(collect_list(struct(col("d2"), col("cent_id")))),
+        1, NprobeCells).as("cells"))
+      .select(col("vec_id").as("query_id"), explode(col("cells.cent_id")).as("cell"))
+    // --- PQ fine layer (pqTopK's codes + per-query distance tables) ---
+    val codes = sv
+      .select(col("vec_id"), col("sub"), col("sq"), col("sn2"),
+        explode(typedLit(cents)).as("c"))
+      .filter(col("c._1") === col("sub"))
+      .withColumn("d2",
+        col("sn2") + col("c._4") - lit(2L) * doti(col("sq"), col("c._3")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d2").as("d2"), col("c._2").as("code"))).as("mc"))
+      .select(col("vec_id"), col("sub"), col("mc.code").as("code"))
+    val dtab = sv.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("sub"), col("sq"), col("sn2"),
+        explode(typedLit(cents)).as("c"))
+      .filter(col("c._1") === col("sub"))
+      .select(col("query_id"), col("sub"), col("c._2").as("code"),
+        (col("sn2") + col("c._4") - lit(2L) * doti(col("sq"), col("c._3")))
+          .as("dq"))
+    // --- compose: probed cells -> candidates -> code lookup -> ADC sum ---
+    val topk = udaf(new TopKAgg(k))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .join(codes, Seq("vec_id"))
+      .join(broadcast(dtab), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("dq")).as("adc_d2"))
+      .groupBy(col("query_id"))
+      .agg(topk((-col("adc_d2")).as("neg"), col("vec_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk.items")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("neighbor_id"), (-col("col.cos_e6")).as("adc_d2"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /**
    * IVF top-k: cells from a deterministic centroid subset (vec_id % centroidMod == 0),
    * every vector assigned to its nearest cell by EXACT integer squared-L2
    * (n2a + n2c - 2·dot, ties to the lower centroid id); queries probe the

@@ -122,4 +122,40 @@ class PqSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(got === expected)
   }
+
+  test("ivfpq_topk equals the composed single-threaded oracle (IVF probe + ADC)") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val (cents, _, finalAsg) = oracle
+    // IVF coarse layer: exact-integer squared-L2 over the FULL vectors
+    val icents = vecs.keys.filter(_ % Similarity.CentroidMod == 0)
+      .map(c => c -> vecs(c)).toMap
+    assert(icents.size >= 2)
+    def fullD2(a: Array[Long], b: Array[Long]): Long = d2(a, b)
+    def rankedCells(id: Long): Seq[Long] =
+      icents.toSeq.map { case (c, cq) => (fullD2(vecs(id), cq), c) }
+        .sorted.map(_._2)
+    val cellOf = vecs.keys.map(id => id -> rankedCells(id).head).toMap
+    val queries = vecs.keys.filter(_ % Similarity.QueryMod == 0).toSeq
+    val expected = queries.flatMap { q =>
+      val probed = rankedCells(q).take(Similarity.NprobeCells).toSet
+      val adc = vecs.keys
+        .filter(v => v != q && probed.contains(cellOf(v)))
+        .map { v =>
+          val dd = (0 until M).map { s =>
+            d2(sq(q, s), cents((s, finalAsg((v, s))._1)))
+          }.sum
+          (v, dd)
+        }.toSeq.sortBy { case (v, dd) => (dd, v) }
+      adc.take(Similarity.DefaultK).zipWithIndex.map { case ((v, dd), i) =>
+        (q, (i + 1).toLong, v, dd)
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = Similarity.ivfPqTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+    // the coarse layer genuinely restricts: ivfpq must not just reproduce pq_topk
+    val unrestricted = Similarity.pqTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got !== unrestricted)
+  }
 }
