@@ -100,6 +100,16 @@ object SparkEntry {
   private def tfDirFor(dir: String): String =
     derivedDir(dir, "tf", TextAnalysis.TfFormatVersion)
 
+  /** Committed PQ codebook (model state under the same protocol as data state);
+    * keyed on the EMBEDDINGS parquet fingerprint — the codebook's actual source. */
+  private def pqDirFor(dir: String): String = {
+    val fp = Interleave.sourceFingerprint(
+      java.nio.file.Paths.get(dir, "embeddings.parquet"))
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-pqcb-" + dir.replaceAll("[^a-z0-9.]", "-")
+        + s"-v${Similarity.PqFormatVersion}-$fp").toString
+  }
+
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
@@ -390,9 +400,12 @@ object SparkEntry {
     "ivf_topk" -> ((s, dir) => Similarity.ivfTopK(embeddings(s, dir))),
     "ivf_train" -> ((s, dir) => Similarity.ivfTrain(embeddings(s, dir))),
     "pq_train" -> ((s, dir) => Similarity.pqTrain(embeddings(s, dir))),
-    "pq_encode" -> ((s, dir) => Similarity.pqEncode(embeddings(s, dir))),
-    "pq_topk" -> ((s, dir) => Similarity.pqTopK(embeddings(s, dir))),
-    "ivfpq_topk" -> ((s, dir) => Similarity.ivfPqTopK(embeddings(s, dir))),
+    "pq_encode" -> ((s, dir) =>
+      Similarity.pqEncode(embeddings(s, dir), store = Some(pqDirFor(dir)))),
+    "pq_topk" -> ((s, dir) =>
+      Similarity.pqTopK(embeddings(s, dir), store = Some(pqDirFor(dir)))),
+    "ivfpq_topk" -> ((s, dir) =>
+      Similarity.ivfPqTopK(embeddings(s, dir), store = Some(pqDirFor(dir)))),
     "semantic_dedup" -> ((s, dir) =>
       Similarity.semanticDedup(Similarity.withEmbMutants(embeddings(s, dir)))),
     "knn_graph" -> ((s, dir) =>

@@ -155,6 +155,24 @@ object TableSnapshot {
     spark.read.option("mergeSchema", "true")
       .parquet(Paths.get(outDir).resolve("data").toString)
 
+  /** True iff `outDir` holds a FULLY committed table: a manifest covering every
+    * bucket in [0, nBuckets) whose entries all pass the metadata verification
+    * tier. The skip-construction probe for derived tables whose CONSTRUCTION is
+    * itself expensive driver-side work (trained model state): [[runHashBucketed]]
+    * can lazily filter an ordinary plan down to invalid buckets, but a codebook
+    * frame cannot be built lazily — its construction runs the training — so the
+    * caller asks first and only trains when this is false. Metadata tier only, by
+    * the same read-path contract as [[runHashBucketed]]'s default. */
+  def isCommitted(spark: SparkSession, outDir: String, nBuckets: Int): Boolean = {
+    val out = Paths.get(outDir)
+    if (!Files.exists(out.resolve("data"))) return false
+    val entries = SnapshotSink.readManifest(spark, outDir)
+    if (entries.map(_.bucket).toSet != (0L until nBuckets).toSet) return false
+    val (_, invalid) = SnapshotSink.verifyEntries(spark, out, entries,
+      deepVerify = false)
+    invalid.isEmpty
+  }
+
   /** The shared derived-table commit shape (dedup signatures, window hashes, tf):
     * hash-bucket `df` on `keyCol`, commit under the snapshot protocol, read back
     * without the bucket column. Single-sourced so the contract — bucket key is
