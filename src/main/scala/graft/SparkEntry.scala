@@ -418,6 +418,7 @@ object SparkEntry {
     "range_join" -> ((s, dir) => graft.operators.RangeJoin.rangeJoin(
       s.read.parquet(s"$dir/events.parquet"))),
     "zorder_key" -> ((s, dir) => graft.operators.Layout.zorderKey(documents(s, dir))),
+    "pagerank" -> ((s, dir) => graft.operators.LinkGraph.pagerank(documents(s, dir))),
     "event_rates" -> ((s, dir) => graft.operators.Sessions.eventRates(
       s.read.parquet(s"$dir/events.parquet"))),
     // ---- text analysis -----------------------------------------------------------
@@ -428,6 +429,8 @@ object SparkEntry {
     "fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(documents(s, dir))),
     "normalize_text" -> ((s, dir) =>
       TextAnalysis.normalizeText(TextAnalysis.withUnicodeNoise(documents(s, dir)))),
+    "lm_score" -> ((s, dir) => TextAnalysis.lmScore(documents(s, dir))),
+    "classifier_score" -> ((s, dir) => TextAnalysis.classifierScore(documents(s, dir))),
     "term_df" -> ((s, dir) => TextAnalysis.termDf(documents(s, dir))),
     "top_terms" -> ((s, dir) =>
       TextAnalysis.topTerms(documents(s, dir), tfStore = Some(tfDirFor(dir)))),
@@ -510,6 +513,7 @@ object SparkEntry {
     "asof_join" -> OracleSqlRef.asofJoin,
     "range_join" -> OracleSqlRef.rangeJoin,
     "zorder_key" -> OracleSqlRef.zorderKey,
+    "pagerank" -> graft.functions.OracleSqlGraph.pagerank,
     "event_rates" -> OracleSqlRef.eventRates,
     "text_quality" -> OracleSqlDedup.textQuality,
     "lang_id" -> OracleSqlDedup.langId,
@@ -517,6 +521,8 @@ object SparkEntry {
     "token_quantiles" -> OracleSqlDedup.tokenQuantiles,
     "fingerprint" -> OracleSqlDedup.fingerprint,
     "normalize_text" -> graft.functions.OracleSqlText.normalizeText,
+    "lm_score" -> graft.functions.OracleSqlText.lmScore,
+    "classifier_score" -> graft.functions.OracleSqlText.classifierScore,
     "term_df" -> graft.functions.OracleSqlText.termDf,
     "top_terms" -> graft.functions.OracleSqlText.topTerms,
     "repetition" -> graft.functions.OracleSqlHygiene.repetition,

@@ -58,4 +58,57 @@ object OracleSqlText {
       |)
       |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf, df, score_e6
       |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
+  /** Mirror of TextAnalysis.lmScore: Witten-Bell-smoothed trigram conditionals as
+    * scaled integers ((c_tri * 1e6) // (c_bi + types(bi)) with context counts
+    * derived from the trigram table), then the per-doc arithmetic-mean
+    * probability. generate_series(1, 0) is empty in DuckDB, matching the Spark
+    * side's explicit short-string guard. */
+  val lmScore: String = {
+    val scale = graft.operators.TextAnalysis.LmProbScale
+    s"""WITH tg AS (
+       |  SELECT doc_id, lang, substr(text, t.i, 3) AS tri
+       |  FROM documents, UNNEST(generate_series(1, len(text) - 2)) AS t(i)
+       |),
+       |ctri AS (SELECT tri, CAST(count(*) AS BIGINT) AS c_tri FROM tg GROUP BY tri),
+       |cbi AS (
+       |  SELECT substr(tri, 1, 2) AS bi, CAST(sum(c_tri) AS BIGINT) AS c_bi,
+       |         CAST(count(*) AS BIGINT) AS t_bi
+       |  FROM ctri GROUP BY substr(tri, 1, 2)
+       |),
+       |model AS (
+       |  SELECT tri, (c_tri * $scale) // (c_bi + t_bi) AS p_e6
+       |  FROM ctri JOIN cbi ON substr(ctri.tri, 1, 2) = cbi.bi
+       |)
+       |SELECT tg.doc_id, tg.lang, CAST(count(*) AS BIGINT) AS n_tris,
+       |       CAST(CAST(sum(m.p_e6) AS BIGINT) // count(*) AS BIGINT) AS score_e6
+       |FROM tg JOIN model m ON tg.tri = m.tri
+       |GROUP BY tg.doc_id, tg.lang
+       |ORDER BY tg.doc_id""".stripMargin
+  }
+
+  /** Mirror of TextAnalysis.classifierScore: hashed unigram+bigram features, the
+    * same two-md5 weight derivation ([[PortableHash]]'s u32 trick in its DuckDB
+    * form), additive integer margin, threshold label. */
+  val classifierScore: String = {
+    import graft.operators.TextAnalysis.{ClsBuckets, ClsWeightMod}
+    def u32(s: String): String =
+      s"CAST(CAST(concat('0x', substr(md5($s), 1, 8)) AS UBIGINT) AS BIGINT)"
+    val bucket = u32("'fh:' || f")
+    val weight =
+      s"${u32(s"'fw:' || CAST($bucket % $ClsBuckets AS VARCHAR)")} % $ClsWeightMod - 1000"
+    s"""WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+       |ft AS (
+       |  SELECT doc_id, lang,
+       |         list_concat(t, list_transform(generate_series(1, len(t) - 1),
+       |                                       i -> t[i] || '_' || t[i + 1])) AS fs
+       |  FROM tk
+       |),
+       |fx AS (SELECT doc_id, lang, len(fs) AS nf, unnest(fs) AS f FROM ft)
+       |SELECT doc_id, lang, CAST(nf AS BIGINT) AS n_feats,
+       |       CAST(sum($weight) AS BIGINT) AS score,
+       |       CAST(CASE WHEN sum($weight) > 0 THEN 1 ELSE 0 END AS INT) AS label
+       |FROM fx GROUP BY doc_id, lang, nf
+       |ORDER BY doc_id""".stripMargin
+  }
 }

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Link-graph analysis over the corpus: deterministic web-shaped edge synthesis plus
+ * an exact-integer PageRank — the canonical iterative web-scale operator (and, with
+ * dedup_groups' connected components, the second member of the engine's iterative
+ * graph family). Web-scale training pipelines use link centrality as a document
+ * quality prior (e.g. harmonic-centrality / PageRank filtering in Common Crawl
+ * curation); the engine-side shape is what matters here: an edge table, a rank
+ * table, and a fixed number of join+aggregate rounds.
+ *
+ * Determinism contract (the DuckDB mirror reproduces every step bit-for-bit):
+ *  - The corpus carries no real hyperlinks, so the graph is SYNTHESIZED from doc_id
+ *    exactly like the sampling/quota operators derive membership from md5: doc u has
+ *    outdeg(u) = 1 + u32(md5("prd:u")) % [[PrOutMod]] out-edges, the j-th pointing at
+ *    u32(md5("pr:u:j")) % N (ids are contiguous 0..N-1 — asserted). Self-loops and
+ *    parallel edges are kept (they are well-defined in PageRank and both engines see
+ *    the same ones). A real deployment swaps ONLY the edge source (an anchor-href
+ *    extraction over the extracted spans); ranks, rounds, and output are unchanged.
+ *  - Ranks are scaled BIGINTs (sum ≈ [[PrScale]]): r0 = PrScale DIV N per vertex;
+ *    each round r'(v) = tele + (85 * Σ_{u→v} (r(u) DIV outdeg(u))) DIV 100 with
+ *    tele = ((PrScale DIV N) * 15) DIV 100 — every division an integer DIV, never a
+ *    double (floor(double) is wrong for BIGINT-scale numerators: the true rational
+ *    can sit closer to an integer than half an ulp). [[PrIters]] fixed rounds; the
+ *    oracle unrolls the same rounds as generated CTEs from these constants.
+ *
+ * Scale shape (10^12 vertices): the edge table is materialized ONCE and re-read
+ * every round (production: committed through the snapshot protocol like dedup
+ * signatures). Each round is one join keyed on the source vertex (edges and ranks
+ * co-partition on it — at cluster scale, bucketBy both and the join is
+ * exchange-free) plus one map-side-partial sum keyed on dst: shuffle volume is
+ * O(edges) per round with no quadratic term anywhere. Per-round rank tables are
+ * checkpoint-materialized exactly like connectedComponents (lineage truncation +
+ * fresh leaf stats — see Dedup.connectedComponentsWithRounds's scaladoc for why the
+ * estimated-stats rewrite must be dropped). The top-k output is TakeOrderedAndProject
+ * (O(k) per partition), never a global sort.
+ */
+object LinkGraph {
+
+  /** Out-degree modulus: outdeg in 1..PrOutMod. */
+  val PrOutMod = 4
+  /** Fixed PageRank rounds (mirrored by generated oracle CTEs). */
+  val PrIters = 5
+  /** Total rank mass, scaled integer (1e12). */
+  val PrScale = 1000000000000L
+  /** Damping numerator/denominator: d = 85/100. */
+  val PrDampNum = 85L
+  val PrDampDen = 100L
+  /** Rows emitted: top-k by (rank desc, doc_id asc). */
+  val PrTopK = 100
+
+  private def u32(s: Column): Column = graft.functions.PortableHash.md5u32(s)
+
+  /** Out-degree of a vertex id (1..PrOutMod). */
+  def outdegOf(id: Column): Column =
+    lit(1L) + pmod(u32(concat_ws(":", lit("prd"), id)), lit(PrOutMod.toLong))
+
+  /** Synthesized edge list: (src, outdeg, dst) with one row per out-edge. */
+  def edges(docs: DataFrame, n: Long): DataFrame =
+    docs.select(col("doc_id").as("src"), outdegOf(col("doc_id")).as("outdeg"))
+      .select(col("src"), col("outdeg"),
+        explode(sequence(lit(0L), col("outdeg") - 1)).as("j"))
+      .select(col("src"), col("outdeg"),
+        pmod(u32(concat_ws(":", lit("pr"), col("src"), col("j"))), lit(n)).as("dst"))
+
+  /** Lineage-truncating materialization for the iterative loop — same form as
+    * connectedComponents: checkpoint (reliable when a checkpoint dir is set), then
+    * rebuild from the RDD so per-round estimated join stats cannot compound. */
+  private def materialize(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val ck =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    spark.createDataFrame(ck.rdd, ck.schema)
+  }
+
+  /**
+   * Exact-integer PageRank over the synthesized graph; emits the top [[PrTopK]]
+   * vertices as (doc_id, n_out, n_in, rank_e12).
+   *
+   * The id space must be contiguous 0..N-1 (the synthesizer's % N target rule);
+   * asserted with one bounded aggregate, failing loudly on a gapped corpus instead
+   * of silently pointing edges at missing vertices.
+   */
+  def pagerank(documents: DataFrame): DataFrame = {
+    val docs = documents.select(col("doc_id"))
+    // one tiny driver-side aggregate: N plus the contiguity check (min=0, max=N-1)
+    val row = docs.agg(count(lit(1)), min(col("doc_id")), max(col("doc_id"))).head()
+    val n = row.getLong(0)
+    require(n > 0 && row.getLong(1) == 0L && row.getLong(2) == n - 1,
+      s"pagerank requires contiguous doc_ids 0..N-1; saw min=${row.getLong(1)} " +
+        s"max=${row.getLong(2)} n=$n")
+    val base = PrScale / n
+    val tele = base * (PrDampDen - PrDampNum) / PrDampDen
+
+    val e = materialize(edges(docs, n)) // re-read every round
+    var rank = materialize(docs.select(col("doc_id").as("v"), lit(base).as("r")))
+    (1 to PrIters).foreach { _ =>
+      val insum = e.join(rank, e("src") === rank("v"))
+        .select(col("dst"), expr("r DIV outdeg").as("share"))
+        .groupBy(col("dst")).agg(sum(col("share")).as("s"))
+      rank = materialize(
+        docs.select(col("doc_id").as("v"))
+          .join(insum, col("v") === col("dst"), "left")
+          .select(col("v"),
+            (lit(tele) +
+              expr(s"($PrDampNum * coalesce(s, 0L)) DIV $PrDampDen")).as("r")))
+    }
+    val nIn = e.groupBy(col("dst")).agg(count(lit(1)).as("n_in"))
+    rank
+      .join(nIn, col("v") === nIn("dst"), "left")
+      .select(col("v").as("doc_id"),
+        outdegOf(col("v")).as("n_out"),
+        coalesce(col("n_in"), lit(0L)).as("n_in"),
+        col("r").as("rank_e12"))
+      .orderBy(col("rank_e12").desc, col("doc_id"))
+      .limit(PrTopK)
+  }
+}

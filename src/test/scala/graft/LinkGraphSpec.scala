@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.LinkGraph
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * PageRank differential test: the distributed run must equal a single-threaded
+ * re-implementation of the SAME contract (md5-synthesized graph, scaled-BIGINT
+ * ranks, integer DIV everywhere) computed driver-side over the whole corpus —
+ * exact equality, not tolerance. Plus the loud-failure contract on gapped id
+ * spaces and the sequence(1,0)-descends guard rail the trigram code shares.
+ */
+class LinkGraphSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val documents = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  private def u32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** Single-threaded PageRank over the synthesized graph, same integer contract. */
+  private def referenceRanks(n: Int): (Array[Long], Array[Long], Array[Long]) = {
+    import LinkGraph._
+    val outdeg = Array.tabulate(n)(u => 1L + u32(s"prd:$u") % PrOutMod)
+    val dsts = Array.tabulate(n)(u =>
+      (0L until outdeg(u)).map(j => (u32(s"pr:$u:$j") % n).toInt).toArray)
+    val nIn = new Array[Long](n)
+    dsts.foreach(_.foreach(d => nIn(d) += 1))
+    val base = PrScale / n
+    val tele = base * (PrDampDen - PrDampNum) / PrDampDen
+    var r = Array.fill(n)(base)
+    (1 to PrIters).foreach { _ =>
+      val insum = new Array[Long](n)
+      (0 until n).foreach { u =>
+        val share = r(u) / outdeg(u)
+        dsts(u).foreach(d => insum(d) += share)
+      }
+      r = insum.map(s => tele + PrDampNum * s / PrDampDen)
+    }
+    (r, outdeg, nIn)
+  }
+
+  test("distributed pagerank equals the single-threaded integer oracle exactly") {
+    val n = documents.count().toInt
+    val (r, outdeg, nIn) = referenceRanks(n)
+    val expected = (0 until n).map(v => (v.toLong, outdeg(v), nIn(v), r(v)))
+      .sortBy { case (v, _, _, rank) => (-rank, v) }
+      .take(LinkGraph.PrTopK)
+    val got = LinkGraph.pagerank(documents)
+      .collect().map(row => (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)))
+      .toSeq
+    assert(got === expected)
+  }
+
+  test("rank mass is conserved up to flooring (no mass created, bounded loss)") {
+    val n = documents.count().toInt
+    val (r, _, _) = referenceRanks(n)
+    val total = r.sum
+    // each vertex floors twice per round (share DIV, damp DIV) plus the teleport
+    // floor — mass can only LEAK, never appear, and the leak is < 2 units/vertex/round
+    assert(total <= LinkGraph.PrScale)
+    assert(total > LinkGraph.PrScale - 2L * n * (LinkGraph.PrIters + 1))
+  }
+
+  test("a gapped doc_id space fails loudly instead of dangling edges") {
+    val gapped = documents.filter(col("doc_id") =!= 5)
+    val e = intercept[IllegalArgumentException] {
+      LinkGraph.pagerank(gapped)
+    }
+    assert(e.getMessage.contains("contiguous"))
+  }
+
+  test("edge synthesis is deterministic and degree-bounded") {
+    val n = documents.count()
+    val e = LinkGraph.edges(documents.select(col("doc_id")), n)
+    val stats = e.agg(min(col("outdeg")), max(col("outdeg")),
+      min(col("dst")), max(col("dst")), count(lit(1))).head()
+    assert(stats.getLong(0) >= 1 && stats.getLong(1) <= LinkGraph.PrOutMod)
+    assert(stats.getLong(2) >= 0 && stats.getLong(3) < n)
+    // re-synthesis is bit-identical (pure function of ids)
+    assert(e.exceptAll(LinkGraph.edges(documents.select(col("doc_id")), n)).isEmpty)
+  }
+}
