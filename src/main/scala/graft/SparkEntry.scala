@@ -429,7 +429,8 @@ object SparkEntry {
     "fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(documents(s, dir))),
     "normalize_text" -> ((s, dir) =>
       TextAnalysis.normalizeText(TextAnalysis.withUnicodeNoise(documents(s, dir)))),
-    "lm_score" -> ((s, dir) => TextAnalysis.lmScore(documents(s, dir))),
+    "lm_score" -> ((s, dir) => TextAnalysis.lmScore(documents(s, dir),
+      modelStore = Some(derivedDir(dir, "lmmodel", TextAnalysis.LmFormatVersion)))),
     "classifier_score" -> ((s, dir) => TextAnalysis.classifierScore(documents(s, dir))),
     "term_df" -> ((s, dir) => TextAnalysis.termDf(documents(s, dir))),
     "top_terms" -> ((s, dir) =>

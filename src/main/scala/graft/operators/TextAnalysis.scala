@@ -263,6 +263,12 @@ object TextAnalysis {
   /** Probability scale for the trigram model (floor(1e6 * c_tri / c_bi)). */
   val LmProbScale = 1000000L
 
+  /** LM-model committed-table format version + bucket count (TableSnapshot key
+    * discipline — bump the version with any change to trigram extraction or the
+    * smoothing formula). The model is tiny (charset-bounded), so few buckets. */
+  val LmFormatVersion = 1
+  val LmBuckets = 4
+
   /** Character trigrams of the text, all occurrences in order. Spark's
     * sequence(1, 0) DESCENDS (it is not empty!), so short strings are guarded to
     * an empty array — the DuckDB mirror's generate_series(1, 0) is empty natively. */
@@ -316,17 +322,27 @@ object TextAnalysis {
    * Two corpus passes (model, then score), each one map-side-partial shuffle; the
    * scoring join is broadcast (model is charset-bounded). At 10^12 docs the model
    * pass runs over a sample (or reads the committed model) and scoring stays a
-   * single broadcast-join scan.
+   * single broadcast-join scan. With `modelStore` set (the registered form) the
+   * model is committed through the snapshot protocol (TableSnapshot, keyed by
+   * corpus fingerprint + [[LmFormatVersion]]): the training pass runs once per
+   * corpus; re-scores — and every downstream corpus scored against the same model —
+   * read the committed table instead of re-counting trigrams.
    */
-  def lmScore(documents: DataFrame): DataFrame =
+  def lmScore(documents: DataFrame, modelStore: Option[String] = None): DataFrame = {
+    val model = modelStore match {
+      case Some(dir) =>
+        graft.sources.TableSnapshot.runHashBucketed(lmModel(documents), "tri", dir, LmBuckets)
+      case None => lmModel(documents)
+    }
     documents
       .select(col("doc_id"), col("lang"), explode(charTrigrams(col("text"))).as("tri"))
-      .join(broadcast(lmModel(documents)), "tri")
+      .join(broadcast(model), "tri")
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_tris"), sum(col("p_e6")).as("p_sum"))
       .select(col("doc_id"), col("lang"), col("n_tris"),
         expr("p_sum DIV n_tris").as("score_e6"))
       .orderBy(col("doc_id"))
+  }
 
   // ------------------------------------------------------------------------------
   // Hashed linear classifier inference (the fastText-quality-filter slot)
