@@ -432,6 +432,7 @@ object SparkEntry {
     "lm_score" -> ((s, dir) => TextAnalysis.lmScore(documents(s, dir),
       modelStore = Some(derivedDir(dir, "lmmodel", TextAnalysis.LmFormatVersion)))),
     "classifier_score" -> ((s, dir) => TextAnalysis.classifierScore(documents(s, dir))),
+    "bm25_topk" -> ((s, dir) => graft.operators.Retrieval.bm25TopK(documents(s, dir))),
     "term_df" -> ((s, dir) => TextAnalysis.termDf(documents(s, dir))),
     "top_terms" -> ((s, dir) =>
       TextAnalysis.topTerms(documents(s, dir), tfStore = Some(tfDirFor(dir)))),
@@ -524,6 +525,7 @@ object SparkEntry {
     "normalize_text" -> graft.functions.OracleSqlText.normalizeText,
     "lm_score" -> graft.functions.OracleSqlText.lmScore,
     "classifier_score" -> graft.functions.OracleSqlText.classifierScore,
+    "bm25_topk" -> graft.functions.OracleSqlText.bm25TopK,
     "term_df" -> graft.functions.OracleSqlText.termDf,
     "top_terms" -> graft.functions.OracleSqlText.topTerms,
     "repetition" -> graft.functions.OracleSqlHygiene.repetition,

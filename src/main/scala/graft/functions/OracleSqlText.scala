@@ -111,4 +111,43 @@ object OracleSqlText {
        |FROM fx GROUP BY doc_id, lang, nf
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** Mirror of Retrieval.bm25TopK: the same ×2-cleared rational idf and
+    * ×(10·L)-cleared tf normalization in `//` integer arithmetic, query VALUES
+    * generated from the SAME [[graft.operators.Retrieval.Queries]] constant, N and L
+    * as scalar subqueries so the SQL stays SF-independent. */
+  val bm25TopK: String = {
+    import graft.operators.Retrieval.{BmK, Queries}
+    val qvals = Queries.flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
+      .mkString(", ")
+    s"""WITH q(q_id, term) AS (VALUES $qvals),
+       |dlx AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |        FROM documents),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS l
+       |       FROM dlx),
+       |tk AS (SELECT doc_id, t.t AS term
+       |       FROM documents, UNNEST(string_split(text, ' ')) AS t(t)
+       |       WHERE t.t IN (SELECT DISTINCT term FROM q)),
+       |tf AS (SELECT tk.doc_id, dlx.dl, tk.term, CAST(count(*) AS BIGINT) AS tf
+       |       FROM tk JOIN dlx USING (doc_id) GROUP BY tk.doc_id, dlx.dl, tk.term),
+       |dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |sc AS (
+       |  SELECT q.q_id, tf.doc_id,
+       |         ((2 * nn.n - 2 * dfx.df + 1) * 1000000) // (2 * dfx.df + 1) AS idf_e6,
+       |         (22 * nn.l * tf.tf * 1000000)
+       |           // (10 * nn.l * tf.tf + 3 * nn.l + 9 * tf.dl * nn.n) AS tfn_e6
+       |  FROM tf JOIN dfx USING (term) JOIN q USING (term), nn
+       |),
+       |agg AS (
+       |  SELECT q_id, doc_id,
+       |         CAST(sum((idf_e6 * tfn_e6) // 1000000) AS BIGINT) AS score_e6
+       |  FROM sc GROUP BY q_id, doc_id
+       |),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score_e6 DESC, doc_id) AS rk
+       |  FROM agg
+       |)
+       |SELECT CAST(q_id AS INT) AS q_id, CAST(rk AS BIGINT) AS rk, doc_id, score_e6
+       |FROM ranked WHERE rk <= $BmK ORDER BY q_id, rk""".stripMargin
+  }
 }
