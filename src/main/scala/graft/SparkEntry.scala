@@ -433,6 +433,10 @@ object SparkEntry {
       modelStore = Some(derivedDir(dir, "lmmodel", TextAnalysis.LmFormatVersion)))),
     "classifier_score" -> ((s, dir) => TextAnalysis.classifierScore(documents(s, dir))),
     "bm25_topk" -> ((s, dir) => graft.operators.Retrieval.bm25TopK(documents(s, dir))),
+    "dsir_weights" -> ((s, dir) => TextAnalysis.dsirWeights(documents(s, dir),
+      // source model = the SAME committed artifact lm_score trains (shared key)
+      sourceStore = Some(derivedDir(dir, "lmmodel", TextAnalysis.LmFormatVersion)),
+      targetStore = Some(derivedDir(dir, "lmtarget", TextAnalysis.LmFormatVersion)))),
     "term_df" -> ((s, dir) => TextAnalysis.termDf(documents(s, dir))),
     "top_terms" -> ((s, dir) =>
       TextAnalysis.topTerms(documents(s, dir), tfStore = Some(tfDirFor(dir)))),
@@ -526,6 +530,7 @@ object SparkEntry {
     "lm_score" -> graft.functions.OracleSqlText.lmScore,
     "classifier_score" -> graft.functions.OracleSqlText.classifierScore,
     "bm25_topk" -> graft.functions.OracleSqlText.bm25TopK,
+    "dsir_weights" -> graft.functions.OracleSqlText.dsirWeights,
     "term_df" -> graft.functions.OracleSqlText.termDf,
     "top_terms" -> graft.functions.OracleSqlText.topTerms,
     "repetition" -> graft.functions.OracleSqlHygiene.repetition,

@@ -112,6 +112,54 @@ object OracleSqlText {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Mirror of TextAnalysis.dsirWeights: two Witten-Bell trigram models (target =
+    * the DsirTargetLang subcorpus, source = all documents), per-doc mean
+    * probabilities, weight ratio, and the md5-threshold resampling flag — every
+    * constant interpolated from the Scala side. */
+  val dsirWeights: String = {
+    import graft.operators.TextAnalysis.{DsirSampleSalt, DsirTargetLang, LmProbScale}
+    def model(pfx: String, where: String): String =
+      s"""${pfx}tg AS (
+         |  SELECT substr(text, t.i, 3) AS tri
+         |  FROM documents, UNNEST(generate_series(1, len(text) - 2)) AS t(i)$where
+         |),
+         |${pfx}ct AS (SELECT tri, CAST(count(*) AS BIGINT) AS c_tri FROM ${pfx}tg GROUP BY tri),
+         |${pfx}cb AS (
+         |  SELECT substr(tri, 1, 2) AS bi, CAST(sum(c_tri) AS BIGINT) AS c_bi,
+         |         CAST(count(*) AS BIGINT) AS t_bi
+         |  FROM ${pfx}ct GROUP BY substr(tri, 1, 2)
+         |),
+         |${pfx}m AS (
+         |  SELECT tri, (c_tri * $LmProbScale) // (c_bi + t_bi) AS p_e6
+         |  FROM ${pfx}ct JOIN ${pfx}cb ON substr(${pfx}ct.tri, 1, 2) = ${pfx}cb.bi
+         |)""".stripMargin
+    val w = "(t_score_e6 * 1000000) // greatest(s_score_e6, 1)"
+    val key = s"CAST(CAST(concat('0x', substr(md5('$DsirSampleSalt:' || " +
+      "CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) % 1000000"
+    s"""WITH dtg AS (
+       |  SELECT doc_id, lang, substr(text, t.i, 3) AS tri
+       |  FROM documents, UNNEST(generate_series(1, len(text) - 2)) AS t(i)
+       |),
+       |${model("s", "")},
+       |${model("t", s" WHERE lang = '$DsirTargetLang'")},
+       |agg AS (
+       |  SELECT dtg.doc_id, dtg.lang, CAST(count(*) AS BIGINT) AS n_tris,
+       |         CAST(sum(coalesce(tm.p_e6, 0)) AS BIGINT) AS t_sum,
+       |         CAST(sum(sm.p_e6) AS BIGINT) AS s_sum
+       |  FROM dtg JOIN sm USING (tri) LEFT JOIN tm USING (tri)
+       |  GROUP BY dtg.doc_id, dtg.lang
+       |),
+       |sc AS (
+       |  SELECT doc_id, lang, n_tris,
+       |         t_sum // n_tris AS t_score_e6, s_sum // n_tris AS s_score_e6
+       |  FROM agg
+       |)
+       |SELECT doc_id, lang, n_tris, t_score_e6, s_score_e6,
+       |       CAST($w AS BIGINT) AS weight_e6,
+       |       CAST(CASE WHEN $key < least($w, 1000000) THEN 1 ELSE 0 END AS INT) AS sampled
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
   /** Mirror of Retrieval.bm25TopK: the same ×2-cleared rational idf and
     * ×(10·L)-cleared tf normalization in `//` integer arithmetic, query VALUES
     * generated from the SAME [[graft.operators.Retrieval.Queries]] constant, N and L

@@ -344,6 +344,68 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** DSIR target selector (the trusted/target distribution is played by the 'en'
+    * subcorpus) and the resampling salt — both interpolated into the oracle. */
+  val DsirTargetLang = "en"
+  val DsirSampleSalt = "dsir1"
+
+  /**
+   * DSIR — Data Selection via Importance Resampling (Xie et al. 2023), the
+   * n-gram-LM data-selection method: weight every document by how much more
+   * target-like than source-like its text is, then resample proportionally.
+   * Deterministic-integer variant of the paper's hashed-ngram form, composed
+   * entirely from machinery already under the gate:
+   *  - target model = [[lmModel]] over the target subcorpus (lang =
+   *    [[DsirTargetLang]]); source model = [[lmModel]] over the full corpus —
+   *    both charset-bounded, both broadcast;
+   *  - per-doc scores are the same arithmetic-mean trigram probabilities as
+   *    [[lmScore]] (a trigram ABSENT from the target model contributes 0 —
+   *    out-of-target text is penalized exactly where the paper's log-ratio
+   *    goes negative);
+   *  - weight_e6 = (t_score_e6 · 1e6) DIV max(s_score_e6, 1), and `sampled` keeps
+   *    the doc with probability min(weight, 1) via the same portable
+   *    md5-threshold trick the curation samplers use (u32 % 1e6 < weight_e6) —
+   *    reproducible membership, re-rolled globally by bumping the salt.
+   *
+   * One corpus scan for the scoring pass (both model joins broadcast), two tiny
+   * model passes; at 10^12 docs the models train on samples / committed tables
+   * exactly like [[lmScore]]'s production shape. With the store params set (the
+   * registered form) both models route through TableSnapshot — and the SOURCE
+   * model is the SAME committed artifact `lm_score` trains (same directory key),
+   * the one-model-many-consumers shape a production curation stack runs.
+   */
+  def dsirWeights(documents: DataFrame, sourceStore: Option[String] = None,
+      targetStore: Option[String] = None): DataFrame = {
+    import graft.functions.PortableHash.md5u32
+    def committed(m: => DataFrame, store: Option[String]): DataFrame = store match {
+      case Some(dir) =>
+        graft.sources.TableSnapshot.runHashBucketed(m, "tri", dir, LmBuckets)
+      case None => m
+    }
+    val target = broadcast(
+      committed(lmModel(documents.filter(col("lang") === DsirTargetLang)), targetStore)
+        .withColumnRenamed("p_e6", "pt_e6"))
+    val source = broadcast(
+      committed(lmModel(documents), sourceStore).withColumnRenamed("p_e6", "ps_e6"))
+    documents
+      .select(col("doc_id"), col("lang"), explode(charTrigrams(col("text"))).as("tri"))
+      .join(source, Seq("tri")) // inner: every corpus trigram is in the source model
+      .join(target, Seq("tri"), "left") // absent from target => contributes 0
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tris"),
+        sum(coalesce(col("pt_e6"), lit(0L))).as("t_sum"),
+        sum(col("ps_e6")).as("s_sum"))
+      .select(col("doc_id"), col("lang"), col("n_tris"),
+        expr("t_sum DIV n_tris").as("t_score_e6"),
+        expr("s_sum DIV n_tris").as("s_score_e6"))
+      .withColumn("weight_e6",
+        expr("(t_score_e6 * 1000000) DIV greatest(s_score_e6, 1)"))
+      .withColumn("sampled",
+        (pmod(md5u32(concat_ws(":", lit(DsirSampleSalt), col("doc_id"))),
+          lit(1000000L)) < least(col("weight_e6"), lit(1000000L))).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------------------------
   // Hashed linear classifier inference (the fastText-quality-filter slot)
   // ------------------------------------------------------------------------------

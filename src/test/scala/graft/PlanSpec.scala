@@ -33,7 +33,11 @@ class PlanSpec extends AnyFunSuite {
     "snapshot_lineage", "snapshot_resume", "snapshot_compact",
     "snapshot_timetravel", "snapshot_changes", "snapshot_takedown",
     "neardup_pairs", "top_terms", "dedup_groups", "dedup_apply",
-    "neardup_incremental", "window_dup", "semantic_dedup")
+    "neardup_incremental", "window_dup", "semantic_dedup",
+    // pagerank's construction RUNS the 5 eager-checkpoint rounds (its join+agg
+    // round topology is pinned by LinkGraphSpec instead); lm_score's registered
+    // form commits the model TableSnapshot — its lazy ad-hoc form is swept below
+    "pagerank", "lm_score", "dsir_weights")
 
   private val planChecked =
     SparkEntry.queries.keys.filterNot(buildExecutes).toSeq.sorted
@@ -60,6 +64,8 @@ class PlanSpec extends AnyFunSuite {
       "neardup_pairs(ad-hoc)" -> Dedup.neardupPairs(Dedup.withMutants(docs)),
       "window_dup(ad-hoc)" -> Dedup.windowDup(Dedup.withMutants(docs)),
       "top_terms(ad-hoc)" -> TextAnalysis.topTerms(docs, tfStore = None),
+      "lm_score(ad-hoc)" -> TextAnalysis.lmScore(docs, modelStore = None),
+      "dsir_weights(ad-hoc)" -> TextAnalysis.dsirWeights(docs),
       // semantic_dedup's pre-closure stage (assignment + capped cell self-join) —
       // the CC loop itself executes per round and is plan-audited via these same
       // join shapes inside connectedComponents

@@ -65,6 +65,56 @@ class TextModelSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(0, 0, 1))
   }
 
+  // ---- dsir_weights --------------------------------------------------------------
+
+  /** Single-threaded Witten-Bell model: tri -> p_e6. */
+  private def modelOf(texts: Seq[String]): Map[String, Long] = {
+    val ct = texts.flatMap(tris).groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    val cb = ct.groupBy(_._1.substring(0, 2))
+      .map { case (k, v) => k -> (v.values.sum, v.size.toLong) }
+    ct.map { case (tri, c) =>
+      val (s, t) = cb(tri.substring(0, 2))
+      tri -> c * TextAnalysis.LmProbScale / (s + t)
+    }
+  }
+
+  test("dsirWeights equals the single-threaded two-model oracle exactly") {
+    val corpus = documents.select(col("doc_id"), col("lang"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val sm = modelOf(corpus.map(_._3))
+    val tm = modelOf(corpus.filter(_._2 == TextAnalysis.DsirTargetLang).map(_._3))
+    val expected = corpus.map { case (id, lang, t) =>
+      val ts = tris(t)
+      val n = ts.size.toLong
+      val tSc = ts.map(tm.getOrElse(_, 0L)).sum / n
+      val sSc = ts.map(sm).sum / n
+      val w = tSc * 1000000L / math.max(sSc, 1L)
+      val sampled =
+        if (u32(s"${TextAnalysis.DsirSampleSalt}:$id") % 1000000L < math.min(w, 1000000L)) 1 else 0
+      (id, lang, n, tSc, sSc, w, sampled)
+    }.sortBy(_._1)
+    val got = TextAnalysis.dsirWeights(documents).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getInt(6))).toSeq
+    assert(got === expected)
+  }
+
+  test("target-like text outweighs out-of-target junk") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog", "en"),
+      (1L, "the quick brown fox jumps again and again", "en"),
+      (2L, "the quick brown fox jumps over me", "xx"), // target-like, foreign label
+      (3L, "zzyzx qqqq wvwvw kjkjkj plplpl", "xx")     // out-of-target junk
+    ).toDF("doc_id", "text", "lang")
+    val w = TextAnalysis.dsirWeights(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(w(2L) > w(3L),
+      s"target-like doc must outweigh junk: $w — junk trigrams are absent from " +
+        "the target model and contribute 0")
+  }
+
   // ---- classifier_score ---------------------------------------------------------
 
   private def weight(f: String): Long = {
