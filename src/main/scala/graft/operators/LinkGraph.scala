@@ -90,20 +90,25 @@ object LinkGraph {
     // one tiny driver-side aggregate: N plus the contiguity check (min=0, max=N-1)
     val row = docs.agg(count(lit(1)), min(col("doc_id")), max(col("doc_id"))).head()
     val n = row.getLong(0)
-    require(n > 0 && row.getLong(1) == 0L && row.getLong(2) == n - 1,
+    require(n > 0, "pagerank requires a non-empty corpus") // before getLong(1): min(empty) is null
+    require(row.getLong(1) == 0L && row.getLong(2) == n - 1,
       s"pagerank requires contiguous doc_ids 0..N-1; saw min=${row.getLong(1)} " +
         s"max=${row.getLong(2)} n=$n")
     val base = PrScale / n
     val tele = base * (PrDampDen - PrDampNum) / PrDampDen
 
     val e = materialize(edges(docs, n)) // re-read every round
-    var rank = materialize(docs.select(col("doc_id").as("v"), lit(base).as("r")))
+    // vertex list materialized ONCE: each round's left join reads this one-column
+    // table, not the corpus scan again (5 re-scans of corpus metadata at 10^12 rows
+    // is real money; the extraction pipeline's resume pruning makes the same move)
+    val vertices = materialize(docs.select(col("doc_id").as("v")))
+    var rank = materialize(vertices.select(col("v"), lit(base).as("r")))
     (1 to PrIters).foreach { _ =>
       val insum = e.join(rank, e("src") === rank("v"))
         .select(col("dst"), expr("r DIV outdeg").as("share"))
         .groupBy(col("dst")).agg(sum(col("share")).as("s"))
       rank = materialize(
-        docs.select(col("doc_id").as("v"))
+        vertices
           .join(insum, col("v") === col("dst"), "left")
           .select(col("v"),
             (lit(tele) +
