@@ -406,6 +406,8 @@ object SparkEntry {
       Similarity.pqTopK(embeddings(s, dir), store = Some(pqDirFor(dir)))),
     "ivfpq_topk" -> ((s, dir) =>
       Similarity.ivfPqTopK(embeddings(s, dir), store = Some(pqDirFor(dir)))),
+    "pq_drift" -> ((s, dir) =>
+      Similarity.pqDrift(embeddings(s, dir), store = Some(pqDirFor(dir)))),
     "semantic_dedup" -> ((s, dir) =>
       Similarity.semanticDedup(Similarity.withEmbMutants(embeddings(s, dir)))),
     "knn_graph" -> ((s, dir) =>
@@ -513,6 +515,7 @@ object SparkEntry {
     "pq_encode" -> OracleSqlSim.pqEncode,
     "pq_topk" -> OracleSqlSim.pqTopK,
     "ivfpq_topk" -> OracleSqlSim.ivfPqTopK,
+    "pq_drift" -> OracleSqlSim.pqDrift,
     "semantic_dedup" -> OracleSqlSim.semanticDedup,
     "knn_graph" -> OracleSqlSim.knnGraph,
     "sessionize" -> OracleSqlRef.sessionize,

@@ -284,6 +284,17 @@ object OracleSqlSim {
        |ORDER BY vec_id, sub""".stripMargin
   }
 
+  /** Mirror of Similarity.pqDrift: the pqEncode mirror wrapped as a CTE (nested
+    * WITH — DuckDB-legal), rolled up per (sub, code). */
+  val pqDrift: String =
+    s"""WITH enc AS (
+       |$pqEncode
+       |)
+       |SELECT sub, code, CAST(count(*) AS BIGINT) AS n_vecs,
+       |       CAST(sum(d2) AS BIGINT) AS d2_sum,
+       |       CAST((CAST(sum(d2) AS BIGINT) * 1000000) // count(*) AS BIGINT) AS d2_mean_e6
+       |FROM enc GROUP BY sub, code ORDER BY sub, code""".stripMargin
+
   /** Mirror of [[graft.operators.Similarity.pqTopK]]: corpus codes + per-query
     * distance tables from the same trained codebook, ADC = sum of per-subspace
     * table entries, ranked ascending with the neighbor-id tie-break. */

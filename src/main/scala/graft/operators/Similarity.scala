@@ -612,6 +612,22 @@ object Similarity {
   }
 
   /**
+   * CODEBOOK-DRIFT MONITOR: per-(subspace, code) rollup of [[pqEncode]]'s residual
+   * distortion — the operational signal an IVF-PQ deployment watches (a corpus
+   * drifting away from the training distribution inflates mean residuals and says
+   * "retrain the codebook"; a code whose occupancy collapses says the cell went
+   * dead). One map-side-partial shuffle over the M·K bounded key space on top of
+   * the encode scan; mean as (sum · 1e6) DIV count — exact integers under the gate.
+   */
+  def pqDrift(emb: DataFrame, store: Option[String] = None): DataFrame =
+    pqEncode(emb, store = store)
+      .groupBy(col("sub"), col("code"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("d2_sum"))
+      .select(col("sub"), col("code"), col("n_vecs"), col("d2_sum"),
+        expr("(d2_sum * 1000000) DIV n_vecs").as("d2_mean_e6"))
+      .orderBy(col("sub"), col("code"))
+
+  /**
    * PQ ASYMMETRIC-DISTANCE top-k (ADC, the query path of IVF-PQ): queries score
    * candidates from their PQ CODES ALONE — approx_d2(q, v) = Σ_s d2(q_s,
    * codebook[s, code(v_s)]) — so the corpus side of the scan reads M small ints
