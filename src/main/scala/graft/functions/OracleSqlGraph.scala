@@ -14,8 +14,7 @@ object OracleSqlGraph {
 
   val pagerank: String = {
     import graft.operators.LinkGraph.{PrDampDen, PrDampNum, PrIters, PrOutMod, PrScale, PrTopK}
-    def u32(s: String): String =
-      s"CAST(CAST(concat('0x', substr(md5($s), 1, 8)) AS UBIGINT) AS BIGINT)"
+    def u32(s: String): String = PortableHash.u32Sql(s)
     val teleNum = PrDampDen - PrDampNum
     val rounds = (1 to PrIters).map { i =>
       s"""r$i AS (

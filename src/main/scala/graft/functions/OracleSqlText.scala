@@ -92,11 +92,10 @@ object OracleSqlText {
     * form), additive integer margin, threshold label. */
   val classifierScore: String = {
     import graft.operators.TextAnalysis.{ClsBuckets, ClsWeightMod}
-    def u32(s: String): String =
-      s"CAST(CAST(concat('0x', substr(md5($s), 1, 8)) AS UBIGINT) AS BIGINT)"
-    val bucket = u32("'fh:' || f")
-    val weight =
-      s"${u32(s"'fw:' || CAST($bucket % $ClsBuckets AS VARCHAR)")} % $ClsWeightMod - 1000"
+    val bucket = PortableHash.u32Sql("'fh:' || f")
+    val weight = PortableHash.u32Sql(
+      s"'fw:' || CAST($bucket % $ClsBuckets AS VARCHAR)") +
+      s" % $ClsWeightMod - 1000"
     s"""WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
        |ft AS (
        |  SELECT doc_id, lang,
@@ -134,8 +133,8 @@ object OracleSqlText {
          |  FROM ${pfx}ct JOIN ${pfx}cb ON substr(${pfx}ct.tri, 1, 2) = ${pfx}cb.bi
          |)""".stripMargin
     val w = "(t_score_e6 * 1000000) // greatest(s_score_e6, 1)"
-    val key = s"CAST(CAST(concat('0x', substr(md5('$DsirSampleSalt:' || " +
-      "CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) % 1000000"
+    val key = PortableHash.u32Sql(
+      s"'$DsirSampleSalt:' || CAST(doc_id AS VARCHAR)") + " % 1000000"
     s"""WITH dtg AS (
        |  SELECT doc_id, lang, substr(text, t.i, 3) AS tri
        |  FROM documents, UNNEST(generate_series(1, len(text) - 2)) AS t(i)

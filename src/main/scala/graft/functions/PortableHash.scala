@@ -15,4 +15,9 @@ object PortableHash {
   /** u32(md5(s)) as a non-negative LongType column. */
   def md5u32(s: Column): Column =
     conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
+  /** The DuckDB spelling of [[md5u32]], for oracle-SQL generators — ONE source for
+    * the cross-engine contract (a width or prefix change edits both sides here). */
+  def u32Sql(s: String): String =
+    s"CAST(CAST(concat('0x', substr(md5($s), 1, 8)) AS UBIGINT) AS BIGINT)"
 }

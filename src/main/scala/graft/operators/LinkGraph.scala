@@ -87,13 +87,18 @@ object LinkGraph {
    */
   def pagerank(documents: DataFrame): DataFrame = {
     val docs = documents.select(col("doc_id"))
-    // one tiny driver-side aggregate: N plus the contiguity check (min=0, max=N-1)
-    val row = docs.agg(count(lit(1)), min(col("doc_id")), max(col("doc_id"))).head()
+    // one tiny driver-side aggregate: N plus the contiguity check. count_distinct
+    // is load-bearing, not belt-and-braces: with count alone, {0,1,1,3} passes
+    // (count=4, min=0, max=3) and then vertex 2 silently drops rank mass in the
+    // left join while the duplicate double-counts — distinct == count == max+1
+    // with min 0 is the exact bijection onto 0..N-1
+    val row = docs.agg(count(lit(1)), min(col("doc_id")), max(col("doc_id")),
+      countDistinct(col("doc_id"))).head()
     val n = row.getLong(0)
     require(n > 0, "pagerank requires a non-empty corpus") // before getLong(1): min(empty) is null
-    require(row.getLong(1) == 0L && row.getLong(2) == n - 1,
-      s"pagerank requires contiguous doc_ids 0..N-1; saw min=${row.getLong(1)} " +
-        s"max=${row.getLong(2)} n=$n")
+    require(row.getLong(1) == 0L && row.getLong(2) == n - 1 && row.getLong(3) == n,
+      s"pagerank requires doc_ids to be exactly 0..N-1 (no gaps, no duplicates); " +
+        s"saw min=${row.getLong(1)} max=${row.getLong(2)} distinct=${row.getLong(3)} n=$n")
     val base = PrScale / n
     val tele = base * (PrDampDen - PrDampNum) / PrDampDen
 

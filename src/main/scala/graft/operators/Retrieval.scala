@@ -51,6 +51,7 @@ object Retrieval {
     val stats = documents
       .agg(count(lit(1)), sum(size(split(col("text"), " ")).cast("long"))).head()
     val n = stats.getLong(0)
+    require(n > 0, "bm25TopK requires a non-empty corpus") // sum(empty) is null
     val l = stats.getLong(1)
     val qterms = Queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
       .toDF("q_id", "term")

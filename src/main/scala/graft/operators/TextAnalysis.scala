@@ -334,11 +334,19 @@ object TextAnalysis {
         graft.sources.TableSnapshot.runHashBucketed(lmModel(documents), "tri", dir, LmBuckets)
       case None => lmModel(documents)
     }
+    // LEFT join + coalesce(0), though inner would gate identically on the
+    // self-trained registered form: against a model committed from a DIFFERENT
+    // corpus (the advertised production shape) an inner join silently drops
+    // unseen trigrams — novel text would score HIGHER (mean over known trigrams
+    // only) and all-novel docs would vanish; unseen-means-0 is the Witten-Bell
+    // escape-mass reading and keeps the score a mean over ALL of the doc's
+    // trigrams (dsirWeights' target side makes the same move)
     documents
       .select(col("doc_id"), col("lang"), explode(charTrigrams(col("text"))).as("tri"))
-      .join(broadcast(model), "tri")
+      .join(broadcast(model), Seq("tri"), "left")
       .groupBy(col("doc_id"), col("lang"))
-      .agg(count(lit(1)).as("n_tris"), sum(col("p_e6")).as("p_sum"))
+      .agg(count(lit(1)).as("n_tris"),
+        sum(coalesce(col("p_e6"), lit(0L))).as("p_sum"))
       .select(col("doc_id"), col("lang"), col("n_tris"),
         expr("p_sum DIV n_tris").as("score_e6"))
       .orderBy(col("doc_id"))
@@ -389,12 +397,15 @@ object TextAnalysis {
       committed(lmModel(documents), sourceStore).withColumnRenamed("p_e6", "ps_e6"))
     documents
       .select(col("doc_id"), col("lang"), explode(charTrigrams(col("text"))).as("tri"))
-      .join(source, Seq("tri")) // inner: every corpus trigram is in the source model
+      // both LEFT: self-trained source makes inner/left identical, but against a
+      // committed source model from another corpus an inner join would drop
+      // unseen trigrams from BOTH sums (see lmScore's scaladoc)
+      .join(source, Seq("tri"), "left")
       .join(target, Seq("tri"), "left") // absent from target => contributes 0
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_tris"),
         sum(coalesce(col("pt_e6"), lit(0L))).as("t_sum"),
-        sum(col("ps_e6")).as("s_sum"))
+        sum(coalesce(col("ps_e6"), lit(0L))).as("s_sum"))
       .select(col("doc_id"), col("lang"), col("n_tris"),
         expr("t_sum DIV n_tris").as("t_score_e6"),
         expr("s_sum DIV n_tris").as("s_score_e6"))

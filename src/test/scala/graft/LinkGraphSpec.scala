@@ -16,10 +16,7 @@ class LinkGraphSpec extends AnyFunSuite {
   private val sfDir = "/root/testdata/sf0.001"
   private lazy val documents = spark.read.parquet(s"$sfDir/documents.parquet")
 
-  private def u32(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-  }
+  private def u32(s: String): Long = TestHash.u32(s)
 
   /** Single-threaded PageRank over the synthesized graph, same integer contract. */
   private def referenceRanks(n: Int): (Array[Long], Array[Long], Array[Long]) = {
@@ -59,10 +56,12 @@ class LinkGraphSpec extends AnyFunSuite {
     val n = documents.count().toInt
     val (r, _, _) = referenceRanks(n)
     val total = r.sum
-    // each vertex floors twice per round (share DIV, damp DIV) plus the teleport
-    // floor — mass can only LEAK, never appear, and the leak is < 2 units/vertex/round
+    // mass can only LEAK, never appear; provable per-vertex-per-round worst case:
+    // share flooring loses r mod outdeg <= PrOutMod-1, the damp DIV < 1, the
+    // teleport floor < 1 (and the r0 init floor < 1 per vertex, once)
     assert(total <= LinkGraph.PrScale)
-    assert(total > LinkGraph.PrScale - 2L * n * (LinkGraph.PrIters + 1))
+    assert(total > LinkGraph.PrScale -
+      n.toLong * (1 + LinkGraph.PrIters * (LinkGraph.PrOutMod + 2)))
   }
 
   test("a gapped doc_id space fails loudly instead of dangling edges") {
@@ -70,7 +69,19 @@ class LinkGraphSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] {
       LinkGraph.pagerank(gapped)
     }
-    assert(e.getMessage.contains("contiguous"))
+    assert(e.getMessage.contains("exactly 0..N-1"))
+  }
+
+  test("a duplicate id hiding a gap (count/min/max all plausible) fails loudly too") {
+    // {0,1,1,3,...}: count == max+1 and min == 0, so only the distinct-count term
+    // catches it — without it, the missing vertex silently drops rank mass and the
+    // duplicate double-counts
+    val dup = documents.select(
+      when(col("doc_id") === 2, 1L).otherwise(col("doc_id")).as("doc_id"))
+    val e = intercept[IllegalArgumentException] {
+      LinkGraph.pagerank(dup)
+    }
+    assert(e.getMessage.contains("exactly 0..N-1"))
   }
 
   test("edge synthesis is deterministic and degree-bounded") {

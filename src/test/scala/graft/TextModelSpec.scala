@@ -17,10 +17,7 @@ class TextModelSpec extends AnyFunSuite {
   private val sfDir = "/root/testdata/sf0.001"
   private lazy val documents = spark.read.parquet(s"$sfDir/documents.parquet")
 
-  private def u32(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-  }
+  private def u32(s: String): Long = TestHash.u32(s)
 
   // ---- lm_score ----------------------------------------------------------------
 
