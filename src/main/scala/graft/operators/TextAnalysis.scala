@@ -446,7 +446,13 @@ object TextAnalysis {
    * functions; nothing is exchanged). label = 1 iff the additive score is
    * positive (the integer margin, not a sigmoid — monotone-identical decision).
    */
-  def classifierScore(documents: DataFrame): DataFrame = {
+  def classifierScore(documents: DataFrame): DataFrame =
+    classifierScored(documents).orderBy(col("doc_id"))
+
+  /** [[classifierScore]] without the output ordering: every column is a per-row
+    * expression, so this form is streaming-legal in append mode unchanged
+    * ([[graft.streaming.StreamingQuality]] runs exactly this over readStream). */
+  def classifierScored(documents: DataFrame): DataFrame = {
     val t = toks(col("text"))
     val n = size(t)
     val bigrams = zip_with(slice(t, lit(1), n - 1), slice(t, lit(2), n - 1),
@@ -457,6 +463,5 @@ object TextAnalysis {
         size(feats).cast("long").as("n_feats"),
         aggregate(feats, lit(0L), (acc, f) => acc + featureWeight(f)).as("score"))
       .withColumn("label", when(col("score") > 0, 1).otherwise(0))
-      .orderBy(col("doc_id"))
   }
 }
