@@ -421,6 +421,10 @@ object SparkEntry {
       s.read.parquet(s"$dir/events.parquet"))),
     "zorder_key" -> ((s, dir) => graft.operators.Layout.zorderKey(documents(s, dir))),
     "pagerank" -> ((s, dir) => graft.operators.LinkGraph.pagerank(documents(s, dir))),
+    "anchor_edges" -> ((s, dir) =>
+      graft.operators.LinkGraph.anchorEdges(Interleave.spansFlat(s, dir))),
+    "pagerank_anchors" -> ((s, dir) => graft.operators.LinkGraph.pagerankAnchors(
+      documents(s, dir), Interleave.spansFlat(s, dir))),
     "event_rates" -> ((s, dir) => graft.operators.Sessions.eventRates(
       s.read.parquet(s"$dir/events.parquet"))),
     // ---- text analysis -----------------------------------------------------------
@@ -523,6 +527,8 @@ object SparkEntry {
     "range_join" -> OracleSqlRef.rangeJoin,
     "zorder_key" -> OracleSqlRef.zorderKey,
     "pagerank" -> graft.functions.OracleSqlGraph.pagerank,
+    "anchor_edges" -> graft.functions.OracleSqlGraph.anchorEdges,
+    "pagerank_anchors" -> graft.functions.OracleSqlGraph.pagerankAnchors,
     "event_rates" -> OracleSqlRef.eventRates,
     "text_quality" -> OracleSqlDedup.textQuality,
     "lang_id" -> OracleSqlDedup.langId,

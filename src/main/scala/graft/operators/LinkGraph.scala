@@ -99,14 +99,27 @@ object LinkGraph {
     require(row.getLong(1) == 0L && row.getLong(2) == n - 1 && row.getLong(3) == n,
       s"pagerank requires doc_ids to be exactly 0..N-1 (no gaps, no duplicates); " +
         s"saw min=${row.getLong(1)} max=${row.getLong(2)} distinct=${row.getLong(3)} n=$n")
+    pagerankOver(docs.select(col("doc_id").as("v")), n,
+      edges(docs, n).select(col("src"), col("dst")))
+  }
+
+  /**
+   * The PageRank core over ANY (src, dst) edge list — out-degree derived from the
+   * edge table itself (one count per src; multi-edges carry multiple shares, the
+   * standard weighted-by-multiplicity reading), dangling vertices keep teleport
+   * mass only. [[pagerank]] runs it over the synthesized graph;
+   * [[pagerankAnchors]] over the REAL anchor-href graph extracted from the
+   * corpus's text spans — the swap the scaladoc at the top of this file promises.
+   */
+  def pagerankOver(vertexList: DataFrame, n: Long, edgeList: DataFrame): DataFrame = {
     val base = PrScale / n
     val tele = base * (PrDampDen - PrDampNum) / PrDampDen
-
-    val e = materialize(edges(docs, n)) // re-read every round
+    val deg = edgeList.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val e = materialize(edgeList.join(deg, "src")) // re-read every round
     // vertex list materialized ONCE: each round's left join reads this one-column
     // table, not the corpus scan again (5 re-scans of corpus metadata at 10^12 rows
     // is real money; the extraction pipeline's resume pruning makes the same move)
-    val vertices = materialize(docs.select(col("doc_id").as("v")))
+    val vertices = materialize(vertexList.select(col("v")))
     var rank = materialize(vertices.select(col("v"), lit(base).as("r")))
     (1 to PrIters).foreach { _ =>
       val insum = e.join(rank, e("src") === rank("v"))
@@ -120,13 +133,54 @@ object LinkGraph {
               expr(s"($PrDampNum * coalesce(s, 0L)) DIV $PrDampDen")).as("r")))
     }
     val nIn = e.groupBy(col("dst")).agg(count(lit(1)).as("n_in"))
+    val nOut = e.groupBy(col("src")).agg(first(col("outdeg")).as("outdeg"))
     rank
       .join(nIn, col("v") === nIn("dst"), "left")
+      .join(nOut, col("v") === nOut("src"), "left")
       .select(col("v").as("doc_id"),
-        outdegOf(col("v")).as("n_out"),
+        coalesce(col("outdeg"), lit(0L)).as("n_out"),
         coalesce(col("n_in"), lit(0L)).as("n_in"),
         col("r").as("rank_e12"))
       .orderBy(col("rank_e12").desc, col("doc_id"))
       .limit(PrTopK)
+  }
+
+  /**
+   * ANCHOR-HREF LINK EXTRACTION over the interleaved corpus's text spans — the
+   * real edge source: every text span carries `<a href="uK">` markup (the
+   * boilerplate archetype links to the hub docs u0/u1; content spans to the doc
+   * itself), and this operator turns the raw markup into the numeric
+   * (src, dst, n_anchors) web graph. Shuffle story: one regexp scan per span
+   * (embarrassingly parallel), then ONE (src, dst) aggregation; hub targets with
+   * in-degree O(N) are exactly what map-side partial aggregation flattens.
+   *
+   * Input is the FLAT span table ([[graft.sources.Interleave.spansFlat]] shape) so
+   * the scan enjoys the same nested-pruning discipline as extraction.
+   */
+  /** One row per anchor occurrence (multi-edges preserved — the rank loop's
+    * weighted-by-multiplicity input). */
+  private def anchorEdgesRaw(spansFlat: DataFrame): DataFrame =
+    spansFlat
+      .filter(col("kind") === "text")
+      .select(
+        substring(col("doc_id"), 5, graft.sources.Interleave.DocIdDigits)
+          .cast("long").as("src"),
+        explode(regexp_extract_all(col("text"),
+          lit("href=\"u(\\d+)\""), lit(1))).as("t"))
+      .select(col("src"), col("t").cast("long").as("dst"))
+
+  def anchorEdges(spansFlat: DataFrame): DataFrame =
+    anchorEdgesRaw(spansFlat)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_anchors"))
+      .orderBy(col("src"), col("dst"))
+
+  /** PageRank over the EXTRACTED anchor graph — extraction and graph analysis
+    * composed end-to-end under one gate (multi-edges kept: a page linking twice
+    * sends two shares). Vertices = all docs (numeric ids from the corpus). */
+  def pagerankAnchors(documents: DataFrame, spansFlat: DataFrame): DataFrame = {
+    val n = documents.count()
+    require(n > 0, "pagerankAnchors requires a non-empty corpus")
+    pagerankOver(documents.select(col("doc_id").as("v")), n,
+      anchorEdgesRaw(spansFlat))
   }
 }

@@ -84,6 +84,35 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(e.getMessage.contains("exactly 0..N-1"))
   }
 
+  test("anchor extraction recovers exactly the generator's link structure") {
+    import spark.implicits._
+    val spans = graft.sources.Interleave.spansFlat(spark, sfDir)
+    val edges = LinkGraph.anchorEdges(spans)
+      .as[(Long, Long, Long)].collect().toSeq
+    val bySrc = edges.groupBy(_._1)
+    val n = documents.count()
+    assert(bySrc.keySet.size === n.toInt, "every doc has text spans, so out-edges")
+    // content spans self-link; link-farm spans (d % 23 == 0) add hubs 0 and 1
+    bySrc.foreach { case (src, es) =>
+      val dsts = es.map(_._2).toSet
+      if (src % 23 == 0) assert(dsts.subsetOf(Set(0L, 1L, src)) && dsts.contains(0L)
+        && dsts.contains(1L), s"$src: $dsts")
+      else assert(dsts === Set(src), s"$src: $dsts")
+    }
+    // hub in-links come from exactly the link-farm docs
+    val farmDocs = (0L until n).count(_ % 23 == 0)
+    val farmIns = edges.filter(e => e._2 == 1L && e._1 % 23 == 0).map(_._1).distinct.size
+    assert(farmIns === farmDocs, s"hub u1 farm in-links $farmIns vs farm docs $farmDocs")
+  }
+
+  test("anchor pagerank concentrates rank on the hub documents") {
+    val spans = graft.sources.Interleave.spansFlat(spark, sfDir)
+    val top = LinkGraph.pagerankAnchors(documents, spans)
+      .select(col("doc_id")).collect().map(_.getLong(0)).take(2).toSet
+    // every 23rd doc's link-farm span feeds u0 and u1: the hubs must lead
+    assert(top === Set(0L, 1L), s"expected hub docs 0 and 1 on top, got $top")
+  }
+
   test("edge synthesis is deterministic and degree-bounded") {
     val n = documents.count()
     val e = LinkGraph.edges(documents.select(col("doc_id")), n)

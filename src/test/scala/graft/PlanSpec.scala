@@ -37,7 +37,7 @@ class PlanSpec extends AnyFunSuite {
     // pagerank's construction RUNS the 5 eager-checkpoint rounds (its join+agg
     // round topology is pinned by LinkGraphSpec instead); lm_score's registered
     // form commits the model TableSnapshot — its lazy ad-hoc form is swept below
-    "pagerank", "lm_score", "dsir_weights")
+    "pagerank", "pagerank_anchors", "lm_score", "dsir_weights")
 
   private val planChecked =
     SparkEntry.queries.keys.filterNot(buildExecutes).toSeq.sorted
