@@ -73,7 +73,7 @@ object OracleSqlGraph {
   private val anchorCtes: String =
     s"""${OracleSql.extractionCtes},
        |aedges AS (
-       |  SELECT CAST(substr(t.doc_id, 5, 13) AS BIGINT) AS src,
+       |  SELECT CAST(substr(t.doc_id, 5) AS BIGINT) AS src,
        |         CAST(u.u AS BIGINT) AS dst
        |  FROM tspans t, UNNEST(regexp_extract_all(t.text, 'href="u(\\d+)"', 1)) AS u(u)
        |)""".stripMargin

@@ -85,13 +85,13 @@ object LinkGraph {
    * asserted with one bounded aggregate, failing loudly on a gapped corpus instead
    * of silently pointing edges at missing vertices.
    */
-  def pagerank(documents: DataFrame): DataFrame = {
-    val docs = documents.select(col("doc_id"))
-    // one tiny driver-side aggregate: N plus the contiguity check. count_distinct
-    // is load-bearing, not belt-and-braces: with count alone, {0,1,1,3} passes
-    // (count=4, min=0, max=3) and then vertex 2 silently drops rank mass in the
-    // left join while the duplicate double-counts — distinct == count == max+1
-    // with min 0 is the exact bijection onto 0..N-1
+  /** Validating vertex count, shared by BOTH pagerank entry points: doc_ids must
+    * be exactly 0..N-1. One tiny driver-side aggregate; count_distinct is
+    * load-bearing, not belt-and-braces: with count alone, {0,1,1,3} passes
+    * (count=4, min=0, max=3) and then vertex 2 silently drops rank mass in the
+    * left join while the duplicate double-counts — distinct == count == max+1
+    * with min 0 is the exact bijection onto 0..N-1. */
+  def validatedVertexCount(docs: DataFrame): Long = {
     val row = docs.agg(count(lit(1)), min(col("doc_id")), max(col("doc_id")),
       countDistinct(col("doc_id"))).head()
     val n = row.getLong(0)
@@ -99,23 +99,36 @@ object LinkGraph {
     require(row.getLong(1) == 0L && row.getLong(2) == n - 1 && row.getLong(3) == n,
       s"pagerank requires doc_ids to be exactly 0..N-1 (no gaps, no duplicates); " +
         s"saw min=${row.getLong(1)} max=${row.getLong(2)} distinct=${row.getLong(3)} n=$n")
-    pagerankOver(docs.select(col("doc_id").as("v")), n,
-      edges(docs, n).select(col("src"), col("dst")))
+    n
+  }
+
+  def pagerank(documents: DataFrame): DataFrame = {
+    val docs = documents.select(col("doc_id"))
+    val n = validatedVertexCount(docs)
+    // the synthesized path's out-degree is a per-row hash — deg is a SHUFFLE-FREE
+    // O(vertices) projection here, not a groupBy over the edge table
+    val deg = docs.select(col("doc_id").as("src"), outdegOf(col("doc_id")).as("outdeg"))
+    pagerankOver(docs.select(col("doc_id").as("v")), n, edges(docs, n), deg)
   }
 
   /**
-   * The PageRank core over ANY (src, dst) edge list — out-degree derived from the
-   * edge table itself (one count per src; multi-edges carry multiple shares, the
-   * standard weighted-by-multiplicity reading), dangling vertices keep teleport
-   * mass only. [[pagerank]] runs it over the synthesized graph;
-   * [[pagerankAnchors]] over the REAL anchor-href graph extracted from the
-   * corpus's text spans — the swap the scaladoc at the top of this file promises.
+   * The PageRank core over ANY edge list carrying (src, dst, outdeg) plus its
+   * per-vertex (src, outdeg) degree table — multi-edges carry multiple shares
+   * (the standard weighted-by-multiplicity reading), dangling vertices keep
+   * teleport mass only. Callers validate the vertex space with
+   * [[validatedVertexCount]] and supply the degree table in whatever way is free
+   * for their edge source (hash projection for the synthesized graph; the
+   * unavoidable one count-per-src for extracted edges). [[pagerank]] runs it over
+   * the synthesized graph; [[pagerankAnchors]] over the REAL anchor-href graph
+   * extracted from the corpus's text spans — the swap the scaladoc at the top of
+   * this file promises.
    */
-  def pagerankOver(vertexList: DataFrame, n: Long, edgeList: DataFrame): DataFrame = {
+  def pagerankOver(vertexList: DataFrame, n: Long, edgesWithDeg: DataFrame,
+      deg: DataFrame): DataFrame = {
     val base = PrScale / n
     val tele = base * (PrDampDen - PrDampNum) / PrDampDen
-    val deg = edgeList.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val e = materialize(edgeList.join(deg, "src")) // re-read every round
+    val e = materialize(edgesWithDeg.select(col("src"), col("dst"), col("outdeg")))
+    val degM = materialize(deg) // O(vertices): reused for the final n_out join
     // vertex list materialized ONCE: each round's left join reads this one-column
     // table, not the corpus scan again (5 re-scans of corpus metadata at 10^12 rows
     // is real money; the extraction pipeline's resume pruning makes the same move)
@@ -133,10 +146,9 @@ object LinkGraph {
               expr(s"($PrDampNum * coalesce(s, 0L)) DIV $PrDampDen")).as("r")))
     }
     val nIn = e.groupBy(col("dst")).agg(count(lit(1)).as("n_in"))
-    val nOut = e.groupBy(col("src")).agg(first(col("outdeg")).as("outdeg"))
     rank
       .join(nIn, col("v") === nIn("dst"), "left")
-      .join(nOut, col("v") === nOut("src"), "left")
+      .join(degM, col("v") === degM("src"), "left")
       .select(col("v").as("doc_id"),
         coalesce(col("outdeg"), lit(0L)).as("n_out"),
         coalesce(col("n_in"), lit(0L)).as("n_in"),
@@ -178,9 +190,10 @@ object LinkGraph {
     * composed end-to-end under one gate (multi-edges kept: a page linking twice
     * sends two shares). Vertices = all docs (numeric ids from the corpus). */
   def pagerankAnchors(documents: DataFrame, spansFlat: DataFrame): DataFrame = {
-    val n = documents.count()
-    require(n > 0, "pagerankAnchors requires a non-empty corpus")
-    pagerankOver(documents.select(col("doc_id").as("v")), n,
-      anchorEdgesRaw(spansFlat))
+    val docs = documents.select(col("doc_id"))
+    val n = validatedVertexCount(docs) // same loud guard as the synthesized form
+    val raw = anchorEdgesRaw(spansFlat)
+    val deg = raw.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    pagerankOver(docs.select(col("doc_id").as("v")), n, raw.join(deg, "src"), deg)
   }
 }

@@ -59,8 +59,7 @@ object StreamingAsOf {
       leftType: String = AsOf.LeftType,
       rightType: String = AsOf.RightType): Dataset[AsOfOut] = {
     import spark.implicits._
-    val schema = spark.read.parquet(tableDir).schema
-    val raw = spark.readStream.schema(schema).parquet(tableDir)
+    val raw = StreamSource.table(spark, tableDir)
 
     val events: Dataset[AsOfEvent] = raw
       .filter(col("event_type").isin(leftType, rightType))

@@ -39,8 +39,7 @@ object StreamingDedup {
   /** The deduplicated stream over a parquet-backed events table. */
   def dedupped(spark: SparkSession, tableDir: String,
       horizonMinutes: Int = HorizonMinutes): DataFrame = {
-    val schema = spark.read.parquet(tableDir).schema
-    spark.readStream.schema(schema).parquet(tableDir)
+    StreamSource.table(spark, tableDir)
       .withColumn("event_ts", col("ts").cast("timestamp"))
       .withWatermark("event_ts", s"$horizonMinutes minutes")
       .dropDuplicatesWithinWatermark("event_id")

@@ -24,28 +24,15 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamingExtract {
 
   /** Streaming extractFlat over a parquet table directory being appended to. */
-  def stream(spark: SparkSession, tableDir: String): DataFrame = {
-    val schema = spark.read.parquet(tableDir).schema
-    val docs = spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", "16")
-      .parquet(tableDir)
-    ExtractPipeline.extractFlat(docs)
-  }
+  def stream(spark: SparkSession, tableDir: String): DataFrame =
+    ExtractPipeline.extractFlat(
+      StreamSource.table(spark, tableDir, maxFilesPerTrigger = Some(16)))
 
   /** Drain everything currently in `tableDir` into `outDir` exactly once
     * (re-invocations with the same checkpoint only process NEW files). */
   def drainOnce(spark: SparkSession, tableDir: String, outDir: String,
-      checkpointDir: String): Unit = {
-    val q = stream(spark, tableDir).writeStream
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", checkpointDir)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-  }
+      checkpointDir: String): Unit =
+    StreamSource.drainParquet(stream(spark, tableDir), outDir, checkpointDir)
 
   /**
    * [[drainOnce]] with LINEAGE PARITY: every micro-batch commits through the same

@@ -23,28 +23,14 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamingQuality {
 
   /** Streaming per-document classifier scores over a parquet table directory. */
-  def stream(spark: SparkSession, tableDir: String): DataFrame = {
-    val schema = spark.read.parquet(tableDir).schema
-    val docs = spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", "16")
-      .parquet(tableDir)
-    TextAnalysis.classifierScored(docs)
-  }
+  def stream(spark: SparkSession, tableDir: String): DataFrame =
+    TextAnalysis.classifierScored(
+      StreamSource.table(spark, tableDir, maxFilesPerTrigger = Some(16)))
 
   /** Drain the backlog once, keeping only rows the classifier accepts
     * (label = 1); re-invocations with the same checkpoint process only new files. */
   def drainAccepted(spark: SparkSession, tableDir: String, outDir: String,
-      checkpointDir: String): Unit = {
-    val q = stream(spark, tableDir)
-      .filter(col("label") === 1)
-      .writeStream
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", checkpointDir)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-  }
+      checkpointDir: String): Unit =
+    StreamSource.drainParquet(
+      stream(spark, tableDir).filter(col("label") === 1), outDir, checkpointDir)
 }

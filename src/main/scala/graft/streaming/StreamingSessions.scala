@@ -66,8 +66,7 @@ object StreamingSessions {
       tableDir: String,
       gapMinutes: Int = 30): Dataset[SessionOut] = {
     import spark.implicits._
-    val schema = spark.read.parquet(tableDir).schema
-    val raw = spark.readStream.schema(schema).parquet(tableDir)
+    val raw = StreamSource.table(spark, tableDir)
     val gapUs = gapMinutes * 60L * 1000000L
 
     val events: Dataset[SessEvent] = raw
