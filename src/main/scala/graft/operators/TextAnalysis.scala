@@ -299,9 +299,12 @@ object TextAnalysis {
    * under the DuckDB gate instead.
    */
   def lmModel(documents: DataFrame): DataFrame = {
+    // native one-pass per-doc trigram TF (graft.functions.TrigramTfExpr): the agg
+    // sees |distinct tris| rows per doc instead of |chars| — Σcnt == the
+    // occurrence count, so all arithmetic and oracles are unchanged
     val cTri = documents
-      .select(explode(charTrigrams(col("text"))).as("tri"))
-      .groupBy(col("tri")).agg(count(lit(1)).as("c_tri"))
+      .select(explode(graft.functions.TrigramTfExpr(col("text"))).as("tc"))
+      .groupBy(col("tc.tri").as("tri")).agg(sum(col("tc.cnt")).as("c_tri"))
     val cBi = cTri.groupBy(substring(col("tri"), 1, 2).as("bi"))
       .agg(sum(col("c_tri")).as("c_bi"), count(lit(1)).as("t_bi"))
     cTri.join(cBi, substring(col("tri"), 1, 2) === col("bi"))
@@ -342,11 +345,12 @@ object TextAnalysis {
     // escape-mass reading and keeps the score a mean over ALL of the doc's
     // trigrams (dsirWeights' target side makes the same move)
     documents
-      .select(col("doc_id"), col("lang"), explode(charTrigrams(col("text"))).as("tri"))
-      .join(broadcast(model), Seq("tri"), "left")
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.TrigramTfExpr(col("text"))).as("tc"))
+      .join(broadcast(model), col("tc.tri") === col("tri"), "left")
       .groupBy(col("doc_id"), col("lang"))
-      .agg(count(lit(1)).as("n_tris"),
-        sum(coalesce(col("p_e6"), lit(0L))).as("p_sum"))
+      .agg(sum(col("tc.cnt")).as("n_tris"),
+        sum(col("tc.cnt") * coalesce(col("p_e6"), lit(0L))).as("p_sum"))
       .select(col("doc_id"), col("lang"), col("n_tris"),
         expr("p_sum DIV n_tris").as("score_e6"))
       .orderBy(col("doc_id"))
@@ -392,20 +396,22 @@ object TextAnalysis {
     }
     val target = broadcast(
       committed(lmModel(documents.filter(col("lang") === DsirTargetLang)), targetStore)
-        .withColumnRenamed("p_e6", "pt_e6"))
+        .select(col("tri").as("t_tri"), col("p_e6").as("pt_e6")))
     val source = broadcast(
-      committed(lmModel(documents), sourceStore).withColumnRenamed("p_e6", "ps_e6"))
+      committed(lmModel(documents), sourceStore)
+        .select(col("tri").as("s_tri"), col("p_e6").as("ps_e6")))
     documents
-      .select(col("doc_id"), col("lang"), explode(charTrigrams(col("text"))).as("tri"))
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.TrigramTfExpr(col("text"))).as("tc"))
       // both LEFT: self-trained source makes inner/left identical, but against a
       // committed source model from another corpus an inner join would drop
       // unseen trigrams from BOTH sums (see lmScore's scaladoc)
-      .join(source, Seq("tri"), "left")
-      .join(target, Seq("tri"), "left") // absent from target => contributes 0
+      .join(source, col("tc.tri") === col("s_tri"), "left")
+      .join(target, col("tc.tri") === col("t_tri"), "left") // absent => contributes 0
       .groupBy(col("doc_id"), col("lang"))
-      .agg(count(lit(1)).as("n_tris"),
-        sum(coalesce(col("pt_e6"), lit(0L))).as("t_sum"),
-        sum(coalesce(col("ps_e6"), lit(0L))).as("s_sum"))
+      .agg(sum(col("tc.cnt")).as("n_tris"),
+        sum(col("tc.cnt") * coalesce(col("pt_e6"), lit(0L))).as("t_sum"),
+        sum(col("tc.cnt") * coalesce(col("ps_e6"), lit(0L))).as("s_sum"))
       .select(col("doc_id"), col("lang"), col("n_tris"),
         expr("t_sum DIV n_tris").as("t_score_e6"),
         expr("s_sum DIV n_tris").as("s_score_e6"))

@@ -43,6 +43,31 @@ class TextModelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("TrigramTfExpr counts == JVM occurrence counts (incl. multi-byte chars)") {
+    import spark.implicits._
+    val genUni: Gen[String] = for {
+      n <- Gen.choose(0, 30)
+      cs <- Gen.listOfN(n, Gen.frequency(
+        5 -> Gen.oneOf('a', 'b', ' '),
+        2 -> Gen.oneOf('é', 'へ', 'Ω'), // 2- and 3-byte UTF-8: boundary walk
+        1 -> Gen.const('"')))
+    } yield cs.mkString
+    val rows = Gen.listOfN(200, genUni).pureApply(Gen.Parameters.default, Seed(17L))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val got = rows.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.TrigramTfExpr(col("text")).as("tf"))
+      .as[(Long, Seq[(String, Long)])].collect().toMap
+    rows.foreach { case (id, t) =>
+      val expected = tris(t).groupBy(identity)
+        .map { case (k, v) => (k, v.size.toLong) }.toSeq.sortBy(_._1)
+      // Spark sorts by UTF8String binary order == UTF-8 byte order; Scala's
+      // String sort is UTF-16 order — equal here (no surrogates in the alphabet),
+      // so compare as sorted sets of pairs to stay alphabet-agnostic
+      assert(got(id).sortBy(_._1) === expected.sortBy(_._1), s"doc $id text='$t'")
+    }
+  }
+
   test("classifier margin == JVM feature-weight sum on adversarial strings") {
     import spark.implicits._
     def weight(f: String): Long = {
