@@ -165,8 +165,12 @@ object OracleSqlText {
     * as scalar subqueries so the SQL stays SF-independent. */
   val bm25TopK: String = {
     import graft.operators.Retrieval.{BmK, Queries}
-    val qvals = Queries.flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
-      .mkString(", ")
+    // terms are asserted [a-z]+ at Retrieval init; the quote-doubling here is the
+    // defense-in-depth layer so a future relaxation of that pattern cannot
+    // silently alter (or break) the generated oracle (ADVICE r4)
+    val qvals = Queries.flatMap { case (q, ts) =>
+      ts.map(t => s"($q, '${t.replace("'", "''")}')")
+    }.mkString(", ")
     s"""WITH q(q_id, term) AS (VALUES $qvals),
        |dlx AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
        |        FROM documents),

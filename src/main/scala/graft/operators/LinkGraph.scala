@@ -193,6 +193,21 @@ object LinkGraph {
     val docs = documents.select(col("doc_id"))
     val n = validatedVertexCount(docs) // same loud guard as the synthesized form
     val raw = anchorEdgesRaw(spansFlat)
+    // EDGE-side half of the loud-failure contract (ADVICE r4): an extracted
+    // href="uK" with K outside 0..N-1 would have its rank share silently dropped
+    // by the per-round left join — mass conservation broken with no error, and
+    // both engines agree so the gate cannot catch it. One bounded map-side
+    // aggregate over the edge list (O(edges) scan, 2-long result) turns that
+    // into the same loud refusal the vertex guard gives.
+    val mm = raw.agg(min(col("dst")), max(col("dst")), min(col("src")),
+      max(col("src"))).head()
+    if (!mm.isNullAt(0)) // empty edge list is legal (teleport-only graph)
+      require(mm.getLong(0) >= 0L && mm.getLong(1) < n
+          && mm.getLong(2) >= 0L && mm.getLong(3) < n,
+        s"extracted anchor edges point outside the vertex space 0..${n - 1}: " +
+          s"dst in [${mm.getLong(0)}, ${mm.getLong(1)}], " +
+          s"src in [${mm.getLong(2)}, ${mm.getLong(3)}] — rank mass would be " +
+          "silently dropped; clean the anchor extraction or remap ids first")
     val deg = raw.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     pagerankOver(docs.select(col("doc_id").as("v")), n, raw.join(deg, "src"), deg)
   }

@@ -33,7 +33,10 @@ import org.apache.spark.sql.functions._
 object Retrieval {
 
   /** Fixed query set (query_id -> terms), drawn from the synthetic generator's
-    * vocabulary; the oracle SQL interpolates THIS list (single-sourced). */
+    * vocabulary; the oracle SQL interpolates THIS list (single-sourced). Terms
+    * are pinned to [a-z]+ (checked at init below): the oracle interpolates them
+    * into SQL string literals, so a quote or metacharacter here would silently
+    * alter the generated oracle (ADVICE r4). */
   val Queries: Seq[(Int, Seq[String])] = Seq(
     1 -> Seq("key", "data", "row"),
     2 -> Seq("window", "agg", "spark"),
@@ -41,18 +44,37 @@ object Retrieval {
     4 -> Seq("hash", "join", "table"),
     5 -> Seq("slow", "fast", "scan"))
 
+  require(Queries.flatMap(_._2).forall(_.matches("[a-z]+")),
+    "BM25 query terms must match [a-z]+ — they are interpolated into oracle SQL " +
+      "literals; extend the escaping in OracleSqlText.bm25TopK before widening")
+
   /** Results per query. */
   val BmK = 5
 
   def bm25TopK(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    // two corpus scalars (N docs, L total tokens): one tiny job, then literals
+    // corpus scalars (N docs, L total tokens, max doc length): one tiny job
     val stats = documents
-      .agg(count(lit(1)), sum(size(split(col("text"), " ")).cast("long"))).head()
+      .agg(count(lit(1)), sum(size(split(col("text"), " ")).cast("long")),
+        max(size(split(col("text"), " ")).cast("long"))).head()
     val n = stats.getLong(0)
     require(n > 0, "bm25TopK requires a non-empty corpus") // sum(empty) is null
     val l = stats.getLong(1)
+    val maxDl = stats.getLong(2)
+    // Overflow guard (ADVICE r4): the ×(10·L)-cleared rational wraps silently in
+    // Spark's Long arithmetic once its terms pass 2^63 (DuckDB raises instead — a
+    // DIVERGENT failure mode). tf <= dl <= maxDl bounds every term: numerator
+    // 22·L·tf·1e6 <= 22·L·maxDl·1e6, denominator <= 10·L·maxDl + 3·L + 9·maxDl·N.
+    // Checked in BigInt so the guard itself cannot wrap; corpora beyond it lift
+    // the two products to DECIMAL(38,0) (HUGEINT in DuckDB) — same arithmetic,
+    // wider lanes (scaladoc above).
+    val worst = Seq(
+      BigInt(22) * l * maxDl * 1000000L,
+      BigInt(10) * l * maxDl + BigInt(3) * l + BigInt(9) * maxDl * n)
+    require(worst.forall(_ <= Long.MaxValue),
+      s"bm25TopK integer scoring would overflow Long at this corpus size " +
+        s"(N=$n, L=$l, maxDl=$maxDl) — lift idf_e6/tfn_e6 to DECIMAL(38,0)")
     val qterms = Queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
       .toDF("q_id", "term")
     val qset = Queries.flatMap(_._2).distinct
