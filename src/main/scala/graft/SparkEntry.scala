@@ -257,6 +257,63 @@ object SparkEntry {
       .orderBy(col("bucket"))
   }
 
+  /** Row-level UPSERT/MERGE under the DuckDB gate (the daily-crawl ingest op): full
+    * commit, then [[graft.sources.SnapshotSink.upsertDocs]] of an update set =
+    * (re-crawled victims' REVISED extraction — numeric id % [[OracleSql.UpsertMod]]
+    * == [[OracleSql.UpsertRes]], their new doc shape is text spans only with
+    * 'v2:'-prefixed content) + ([[OracleSql.UpsertNewDocs]] brand-new documents —
+    * the insert half of MERGE). The output aggregates the READ-BACK committed
+    * table per bucket INCLUDING a content digest over (doc_id, offset, text), so
+    * the oracle verifies the merged bytes: replace-not-append (victims' media
+    * spans must be gone), bystander preservation, insert placement, and
+    * `rewritten` = 1 exactly on buckets that received an update. */
+  private def snapshotUpsert(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotSink
+    val nb = SnapshotSink.DefaultBuckets
+    val out = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-snapupsert-query-" + dir.replaceAll("[^a-z0-9.]", "-"))
+    SnapshotSink.deleteRecursively(out)
+    SnapshotSink.run(Interleave.materializedDocsBucketed(s, dir, nb), out.toString,
+      nBuckets = nb, waveSize = nb)
+    val numId = substring(col("doc_id"), 5, Interleave.DocIdDigits).cast("long")
+    // re-crawl extraction: victims filtered BEFORE the OCR island (only the changed
+    // documents pay extraction — the incremental-ingest cost shape), new doc shape
+    // = kt text spans, revised content
+    val victims = Interleave.docs(s, dir)
+      .filter(pmod(numId, lit(OracleSql.UpsertMod)) === OracleSql.UpsertRes)
+    val updVict = ExtractPipeline.extractFlat(victims)
+      .filter(col("kind") === "text")
+      .withColumn("text", concat(lit("v2:"), col("text")))
+      // the revised doc has kt spans (its media pages were dropped by the re-crawl)
+      .withColumn("n_doc_spans", (lit(2) + pmod(numId, lit(3))).cast("int"))
+    val mx = documents(s, dir).agg(max(col("doc_id"))).head.getLong(0)
+    val insRows = for {
+      i <- 1 to OracleSql.UpsertNewDocs
+      j <- 0 until OracleSql.UpsertNewSpans
+    } yield (f"doc-${mx + i}%013d", "en", OracleSql.UpsertNewSpans, j, "text",
+      s"new:${mx + i}:$j", null: String, true, null: String, 0, 0.0)
+    import s.implicits._
+    val ins = insRows.toDF("doc_id", "lang", "n_doc_spans", "offset", "kind",
+      "text", "media_ref", "ok", "error", "n_words", "conf_sum")
+    val report = SnapshotSink.upsertDocs(s, out.toString,
+      updVict.unionByName(ins), nb)
+    val rw = report.rewrittenBuckets.map(java.lang.Long.valueOf)
+    SnapshotSink.readCommitted(s, out.toString)
+      .groupBy(col("bucket").cast("int").as("bucket"))
+      .agg(count(lit(1)).as("rows_"),
+        sum(when(col("kind") === "text", 1L).otherwise(0L)).as("n_text"),
+        sum(when(col("kind") === "image", 1L).otherwise(0L)).as("n_media"),
+        sum(when(col("error").isNotNull, 1L).otherwise(0L)).as("n_err"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("offset"),
+            coalesce(col("text"), lit("")).as("t")))),
+          x => concat_ws(":", x.getField("doc_id"), x.getField("offset"),
+            x.getField("t"))), "|")).as("content_md5"))
+      .withColumn("rewritten",
+        when(col("bucket").cast("long").isInCollection(rw), 1).otherwise(0))
+      .orderBy(col("bucket"))
+  }
+
   /** Streamed ingest -> COMPACTION -> canonical generation, under the DuckDB gate:
     * commit the corpus as [[graft.functions.OracleSql.CompactBatches]] synthetic
     * stream micro-batches (sidecar-allocated composite manifest ids `generation*nBuckets + bucket` — generation == batchId for this fresh sequential stream,
@@ -310,6 +367,7 @@ object SparkEntry {
     "snapshot_timetravel" -> (snapshotTimetravel(_, _)),
     "snapshot_changes" -> (snapshotChanges(_, _)),
     "snapshot_takedown" -> (snapshotTakedown(_, _)),
+    "snapshot_upsert" -> (snapshotUpsert(_, _)),
     "hocr_words" -> ((s, dir) => {
       import graft.functions.HocrAlto
       ExtractPipeline.extractFlat(Interleave.docs(s, dir))
@@ -491,6 +549,7 @@ object SparkEntry {
     "snapshot_timetravel" -> OracleSql.snapshotTimetravel,
     "snapshot_changes" -> OracleSql.snapshotChanges,
     "snapshot_takedown" -> OracleSql.snapshotTakedown,
+    "snapshot_upsert" -> OracleSql.snapshotUpsert,
     "hocr_words" -> OracleSql.hocrWords,
     "alto_words" -> OracleSql.altoWords,
     "pdf_words" -> OracleSql.pdfWords,

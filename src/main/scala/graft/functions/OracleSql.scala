@@ -244,6 +244,71 @@ object OracleSql {
        |LEFT JOIN kept k ON k.bucket = d.b
        |GROUP BY d.b ORDER BY bucket""".stripMargin
 
+  /** Upsert victim selector for `SparkEntry.snapshotUpsert`: documents whose numeric
+    * id satisfies `id % UpsertMod == UpsertRes` are "re-crawled" — their committed
+    * rows are REPLACED by a revised extraction (text spans only, 'v2:'-prefixed
+    * content). Distinct from the takedown selector so the two protocol queries
+    * exercise different bucket sets. ~5% of documents across most buckets =>
+    * multi-bucket rewrites AND untouched buckets in one run. */
+  val UpsertMod = 19
+  val UpsertRes = 7
+
+  /** Documents the merge INSERTS (ids max(doc_id)+1 .. +UpsertNewDocs), each with
+    * [[UpsertNewSpans]] text spans — the insert half of MERGE semantics. */
+  val UpsertNewDocs = 3
+  val UpsertNewSpans = 2
+
+  /** Mirror of SparkEntry.snapshotUpsert: after a full commit and
+    * [[graft.sources.SnapshotSink.upsertDocs]] of (victims' revised extraction +
+    * new documents), the committed table must hold EXACTLY the merged row set:
+    * non-victim rows untouched, victims' rows replaced by their kt text spans
+    * ('v2:' prefix — so a merge that appends instead of replacing flips rows_ and
+    * n_media; one that loses bystanders flips content_md5), inserted docs present,
+    * and `rewritten` = 1 precisely on buckets containing a victim or an insert.
+    * content_md5 digests (doc_id:offset:text) in (doc_id, offset) order per bucket,
+    * putting the merged BYTES (not just counts) under the gate. */
+  val snapshotUpsert: String =
+    s"""$extractionCtes,
+       |mx AS (SELECT max(doc_id) AS m FROM documents),
+       |merged AS (
+       |  SELECT doc_id, "offset", kind, text, error
+       |  FROM extracted
+       |  WHERE CAST(substr(doc_id, 5) AS BIGINT) % $UpsertMod <> $UpsertRes
+       |  UNION ALL
+       |  SELECT doc_id, "offset", kind, 'v2:' || text, error
+       |  FROM extracted
+       |  WHERE CAST(substr(doc_id, 5) AS BIGINT) % $UpsertMod = $UpsertRes
+       |    AND kind = 'text'
+       |  UNION ALL
+       |  SELECT 'doc-' || lpad(CAST(mx.m + i.i AS VARCHAR), 13, '0'),
+       |         CAST(j.j AS INT), 'text',
+       |         'new:' || CAST(mx.m + i.i AS VARCHAR) || ':' || CAST(j.j AS VARCHAR),
+       |         CAST(NULL AS VARCHAR)
+       |  FROM mx, UNNEST(generate_series(1, $UpsertNewDocs)) AS i(i),
+       |       UNNEST(generate_series(0, ${UpsertNewSpans - 1})) AS j(j)
+       |),
+       |touched AS (
+       |  SELECT DISTINCT CAST(doc_id % $SnapshotBuckets AS INT) AS bucket
+       |  FROM documents WHERE doc_id % $UpsertMod = $UpsertRes
+       |  UNION
+       |  SELECT DISTINCT CAST((mx.m + i.i) % $SnapshotBuckets AS INT)
+       |  FROM mx, UNNEST(generate_series(1, $UpsertNewDocs)) AS i(i)
+       |),
+       |agg AS (
+       |  SELECT CAST(CAST(substr(doc_id, 5) AS BIGINT) % $SnapshotBuckets AS INT) AS bucket,
+       |         CAST(count(*) AS BIGINT) AS rows_,
+       |         CAST(sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) AS BIGINT) AS n_text,
+       |         CAST(sum(CASE WHEN kind = 'image' THEN 1 ELSE 0 END) AS BIGINT) AS n_media,
+       |         CAST(sum(CASE WHEN error IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_err,
+       |         md5(string_agg(doc_id || ':' || CAST("offset" AS VARCHAR) || ':' || coalesce(text, ''),
+       |             '|' ORDER BY doc_id, "offset")) AS content_md5
+       |  FROM merged GROUP BY 1
+       |)
+       |SELECT a.bucket, a.rows_, a.n_text, a.n_media, a.n_err, a.content_md5,
+       |       CAST(CASE WHEN a.bucket IN (SELECT bucket FROM touched)
+       |            THEN 1 ELSE 0 END AS INT) AS rewritten
+       |FROM agg a ORDER BY bucket""".stripMargin
+
   /** Number of synthetic stream micro-batches `SparkEntry.snapshotCompact` commits
     * before compacting. The compacted generation index equals this count (batch ids
     * 0..N-1 occupy generations 0..N-1, so the rewrite lands at generation N) —

@@ -615,6 +615,140 @@ object SnapshotSink {
     DeleteReport(deleted, rewritten.result())
   }
 
+  /** Outcome of an [[upsertDocs]] merge: documents whose rows were replaced
+    * (matched), documents newly inserted, the replaced-row count, the upsert-row
+    * count, and the buckets rewritten. */
+  final case class UpsertReport(
+      matchedDocs: Long,
+      insertedDocs: Long,
+      replacedRows: Long,
+      upsertRows: Long,
+      rewrittenBuckets: Seq[Long])
+
+  /**
+   * Row-level UPSERT / MERGE (the daily-crawl ingest op): every document present in
+   * `updates` has ALL of its committed rows REPLACED by its `updates` rows;
+   * documents not yet in the snapshot are inserted — bucket-granular copy-on-write
+   * through the same staged-write -> re-read -> publish -> distributed-hash ->
+   * manifest-republish cycle as every other write. The reference archetype is
+   * `_download_languague`'s replace-if-hash-differs idempotency
+   * (uiucprescon/ocr/languages.py:135-175): re-delivering the same update set is a
+   * no-op in content (the rewrite regenerates byte-identical logical rows), so a
+   * merge that crashes mid-flight is healed by simply re-running it — already-merged
+   * buckets re-merge idempotently (the anti-join removes the previous upsert's rows
+   * by doc_id before re-adding them), un-merged buckets merge for the first time
+   * (SnapshotUpsertSpec drives a crash between waves through `crashAfterWaves`).
+   *
+   * Scale shape: affected buckets are discovered by ONE distributed distinct over
+   * the update set's bucket keys (<= nBuckets rows reach the driver — never the doc
+   * ids themselves, which at daily-crawl scale are billions); each wave then reads
+   * and rewrites ONLY its buckets' committed bytes (manifest-resolved file list),
+   * anti-joins out the updated documents' old rows (null-keyed bystanders survive:
+   * an anti join never matches a null key), unions the wave's update rows, and
+   * commits. A merge touching k buckets reads/writes O(k buckets' bytes + updates),
+   * never the table. Unlike [[deleteDocs]] (bounded driver-side id list by design),
+   * the update set stays fully distributed.
+   *
+   * DERIVED-TABLE CASCADE: a re-crawled document's committed derived rows (MinHash
+   * signatures, window hashes, tf rows) are stale after the merge — cascade with
+   * [[TableSnapshot.deleteIds]] per derived table for the touched ids, exactly like
+   * the takedown cascade; the next derived-table resume re-derives them from the
+   * merged corpus. Cascade order: corpus first, derived tables second.
+   *
+   * Requires a canonical manifest (one entry per base bucket) for the same reason
+   * as [[deleteDocs]]: a doc's rows may straddle generations mid-stream — compact
+   * first. `updates` must carry exactly the committed table's columns (no bucket).
+   */
+  def upsertDocs(
+      spark: SparkSession,
+      outDir: String,
+      updates: DataFrame,
+      nBuckets: Int = DefaultBuckets,
+      waveSize: Int = 4,
+      crashAfterWaves: Int = Int.MaxValue,
+      io: CommitIo = PosixCommitIo): UpsertReport = {
+    val out = Paths.get(outDir)
+    val existing = readManifest(spark, outDir)
+    require(existing.nonEmpty, s"no committed snapshot under $outDir")
+    require(existing.map(_.bucket % nBuckets).distinct.size == existing.size,
+      "manifest is not canonical (multiple generations per base bucket — an " +
+        "un-compacted stream): run compact() first, a document's rows may " +
+        "straddle generations")
+    val committedCols = readCommitted(spark, outDir).drop("bucket").columns
+    require(updates.columns.sorted.sameElements(committedCols.sorted),
+      s"updates schema ${updates.columns.sorted.mkString("(", ",", ")")} must match " +
+        s"the committed table ${committedCols.sorted.mkString("(", ",", ")")}")
+    require(!updates.columns.contains("bucket"), "updates must not carry `bucket`")
+    val idOfBase = existing.map(e => (e.bucket % nBuckets) -> e.bucket).toMap
+
+    // ONE distributed job discovers the affected buckets; only <= nBuckets bucket
+    // ids reach the driver. A NULL doc_id in the updates has no bucket to route to
+    // — refuse loudly (the committed table tolerates null-id bystanders, but an
+    // UPSERT row without an identity is undefined).
+    val baseCol = bucketOf(col("doc_id"), nBuckets).cast("long")
+    val affectedBases = updates
+      .select(when(col("doc_id").isNull, lit(-1L)).otherwise(baseCol).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    require(!affectedBases.contains(-1L),
+      "updates contain NULL doc_id rows — an upsert row needs an identity")
+    affectedBases.foreach(b => require(idOfBase.contains(b),
+      s"update routes to base bucket $b but the manifest has no entry for it — " +
+        s"wrong nBuckets for this snapshot?"))
+
+    var manifest = existing.sortBy(_.bucket)
+    var matchedDocs = 0L
+    var insertedDocs = 0L
+    var replacedRows = 0L
+    var upsertRows = 0L
+    val rewritten = Seq.newBuilder[Long]
+    affectedBases.grouped(waveSize).zipWithIndex.foreach { case (wave, wi) =>
+      val t0 = System.nanoTime()
+      val targetIds = wave.map(idOfBase)
+      val idCol =
+        if (targetIds == wave) baseCol
+        else wave.zip(targetIds).foldLeft(lit(-1L)) { case (acc, (b, id)) =>
+          when(baseCol === b, lit(id)).otherwise(acc)
+        }
+      val updW = updates.filter(baseCol.isin(wave.map(_.toInt): _*))
+      val updIds = updW.select(col("doc_id")).distinct()
+      val entries = targetIds.map(id => manifest.find(_.bucket == id).get)
+      val files = entries.flatMap(e =>
+        e.files.map(f => bucketDir(out, e.bucket).resolve(f).toString))
+      val cur =
+        if (files.isEmpty)
+          updW.withColumn("bucket", lit(0L)).limit(0)
+        else spark.read.option("basePath", out.resolve("data").toString)
+          .parquet(files: _*)
+          .withColumn("bucket", col("bucket").cast("long"))
+      // report counters: two bounded aggregates per wave (rows replaced, docs
+      // matched / updated) — the same job class as the metrics re-read
+      val curHit = cur.join(updIds, Seq("doc_id"), "left_semi")
+        .agg(count(lit(1)), countDistinct(col("doc_id"))).head()
+      val updStat = updW
+        .agg(count(lit(1)), countDistinct(col("doc_id"))).head()
+      replacedRows += curHit.getLong(0)
+      matchedDocs += curHit.getLong(1)
+      insertedDocs += updStat.getLong(1) - curHit.getLong(1)
+      upsertRows += updStat.getLong(0)
+
+      val kept = cur.join(updIds, Seq("doc_id"), "left_anti")
+      val merged = kept.unionByName(updW.withColumn("bucket", idCol))
+      // prior-rows>0 buckets must not stage empty (same silent-loss refusal as
+      // resume); every affected bucket receives >= 1 update row anyway
+      val expectNonEmpty = entries.filter(_.rows > 0).map(_.bucket).toSet
+      val (m2, _) = commitWaveFlat(spark, out, merged, targetIds,
+        manifest.filterNot(e => targetIds.contains(e.bucket)), t0,
+        expectNonEmpty = expectNonEmpty, io = io,
+        layoutCols = rewriteLayout(merged), spanMetrics = hasSpanMetrics(merged))
+      manifest = m2
+      rewritten ++= targetIds
+      if (wi + 1 >= crashAfterWaves) throw new InjectedCrash(wi)
+    }
+    deleteRecursively(out.resolve("staging"))
+    UpsertReport(matchedDocs, insertedDocs, replacedRows, upsertRows,
+      rewritten.result())
+  }
+
   /**
    * Streaming entry point: commit ONE micro-batch of already-extracted flat spans
    * through the SAME wave-commit protocol as the batch sink (staging write ->

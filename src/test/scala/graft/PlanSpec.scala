@@ -32,6 +32,7 @@ class PlanSpec extends AnyFunSuite {
   private val buildExecutes = Set(
     "snapshot_lineage", "snapshot_resume", "snapshot_compact",
     "snapshot_timetravel", "snapshot_changes", "snapshot_takedown",
+    "snapshot_upsert",
     "neardup_pairs", "top_terms", "dedup_groups", "dedup_apply",
     "neardup_incremental", "window_dup", "semantic_dedup",
     // pagerank's construction RUNS the 5 eager-checkpoint rounds (its join+agg
