@@ -16,13 +16,17 @@ object OracleSqlMedia {
   private def byteAt(ph: String, i: String): String =
     s"(${hv(s"substr($ph, 2 * ($i) + 1, 1)")} * 16 + ${hv(s"substr($ph, 2 * ($i) + 2, 1)")})"
 
-  /** Media catalog + decode CTEs, appended to the extraction CTEs (reuses `mspans`). */
+  /** Media catalog + decode CTEs, appended to the extraction CTEs (reuses `mspans`).
+    * A resolvable ref whose md5's THIRD hex digit is 'f' carries a CORRUPTED
+    * container (flipped magic byte, [[graft.operators.MediaContainers.corruptRef]])
+    * — the parse must fail into a row-level error, the "invalid image" archetype. */
   private val mediaCtes: String =
     s"""${OracleSql.extractionCtes},
        |refs AS (SELECT DISTINCT media_ref FROM mspans),
        |meta AS (
        |  SELECT media_ref, md5(media_ref) AS mh,
-       |         CASE WHEN media_ref LIKE 'missing-%' THEN 0 ELSE 1 END AS okflag
+       |         CASE WHEN media_ref LIKE 'missing-%' THEN 0 ELSE 1 END AS okflag,
+       |         CASE WHEN substr(md5(media_ref), 3, 1) = 'f' THEN 1 ELSE 0 END AS corrupt
        |  FROM refs
        |),
        |good AS (
@@ -31,7 +35,7 @@ object OracleSqlMedia {
        |         CASE (${hv("substr(mh, 2, 1)")} % 3)
        |           WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
        |           ELSE 'video/mp4' END AS mime
-       |  FROM meta WHERE okflag = 1
+       |  FROM meta WHERE okflag = 1 AND corrupt = 0
        |),
        |hexes AS (
        |  SELECT g2.media_ref, g2.mime, g2.nb,
@@ -62,6 +66,13 @@ object OracleSqlMedia {
        |  SELECT media_ref, 'application/octet-stream', 0,
        |         'Unable to decode ' || media_ref, 0, 0, 0, 0, 0, ''
        |  FROM meta WHERE okflag = 0
+       |  UNION ALL
+       |  SELECT media_ref,
+       |         CASE (${hv("substr(mh, 2, 1)")} % 3)
+       |           WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+       |           ELSE 'video/mp4' END,
+       |         0, 'bad container: ' || media_ref, 0, 0, 0, 0, 0, ''
+       |  FROM meta WHERE okflag = 1 AND corrupt = 1
        |)""".stripMargin
 
   val mediaDecode: String =

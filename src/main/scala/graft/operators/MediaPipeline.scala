@@ -40,29 +40,164 @@ final case class MediaFeatures(
     f0: Long, f1: Long, f2: Long, f3: Long,
     f4: Long, f5: Long, f6: Long, f7: Long)
 
+/** Decode result handed back across the codec boundary: the parsed container
+  * metadata plus the decoded CONTENT stream (real codec: pixel/sample bytes; here:
+  * the container's payload section) — features and the content digest are defined
+  * over the content, never over container framing bytes. */
+final case class DecodedMedia(
+    w: Int, h: Int, durationMs: Int, nFrames: Int, content: Array[Byte])
+
 /**
  * Pluggable decoder for the media island — the multimodal analogue of the reference's
  * image-loader Strategy (abcImageLoaderStrategy, uiucprescon/ocr/ImageLoaderStrategies.h:12-17).
+ * A malformed container must THROW (the `pixRead == null` -> TesseractGlueException
+ * contract, ImageLoaderStrategies.cpp:11-13); the island converts that into a
+ * row-level error, never a task failure.
  */
 trait MediaCodec extends Serializable {
-  def decode(mime: String, payload: Array[Byte]): (Int, Int, Int, Int) // (w,h,duration_ms,n_frames)
+  def decode(mime: String, bytes: Array[Byte]): DecodedMedia
 }
 
 /**
- * STUB CODEC — no image/audio/video libraries exist in this sandbox, so the decode is a
- * deterministic function of the payload bytes. Everything AROUND it is real: the binary
- * column schema, the typed mapPartitions batch shape, the per-row error channel, and the
- * Catalyst post-processing are exactly what a real libjpeg/ffmpeg-backed codec would
- * plug into (swap this object; nothing else changes).
+ * The production codec: parses REAL container headers from the byte stream —
+ * PNG signature + IHDR big-endian fields, RIFF/WAVE chunk walking (little-endian
+ * sizes), and ISO-BMFF box walking (big-endian sizes) — mirroring the reference's
+ * genuine `pixRead` decode surface (uiucprescon/ocr/ImageLoaderStrategies.cpp:8-15).
+ * No pixel/sample decode happens (no media libs in this sandbox; the content stream
+ * passes through opaque), but every metadata field the pipeline reports is recovered
+ * by parsing container bytes, and a corrupted magic fails exactly like a truncated
+ * TIFF fails pixRead (tests/test_load_image.py:10-14).
+ */
+object ContainerCodec extends MediaCodec {
+  private def be32(p: Array[Byte], i: Int): Int =
+    ((p(i) & 0xff) << 24) | ((p(i + 1) & 0xff) << 16) |
+      ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
+  private def le32(p: Array[Byte], i: Int): Int =
+    (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8) |
+      ((p(i + 2) & 0xff) << 16) | ((p(i + 3) & 0xff) << 24)
+  private def fourcc(p: Array[Byte], i: Int): String =
+    new String(p, i, 4, "US-ASCII")
+  private def bad(msg: String): Nothing =
+    throw new IllegalArgumentException(s"bad container: $msg")
+
+  def decode(mime: String, p: Array[Byte]): DecodedMedia = mime match {
+    case "image/png" =>
+      // 8-byte signature, then the IHDR chunk: len(4 BE) "IHDR" w(4 BE) h(4 BE)
+      // bitdepth/colortype/compression/filter/interlace(5) crc(4)
+      if (p.length < 33) bad("png truncated")
+      if (!MediaContainers.PngSig.indices.forall(i => p(i) == MediaContainers.PngSig(i)))
+        bad("png signature mismatch")
+      if (be32(p, 8) != 13 || fourcc(p, 12) != "IHDR") bad("png missing IHDR")
+      DecodedMedia(be32(p, 16), be32(p, 20), 0, 1, p.drop(33))
+    case "audio/wav" =>
+      // RIFF container: "RIFF" size(LE) "WAVE", then 4cc+LE-size chunks; the
+      // payload rides in "data", the clip length in the "dur " chunk (ms, LE32)
+      if (p.length < 12 || fourcc(p, 0) != "RIFF" || fourcc(p, 8) != "WAVE")
+        bad("riff/wave magic mismatch")
+      var i = 12
+      var dur = -1
+      var content: Array[Byte] = null
+      while (i + 8 <= p.length) {
+        val cc = fourcc(p, i)
+        val sz = le32(p, i + 4)
+        if (sz < 0 || i + 8 + sz > p.length) bad(s"riff chunk '$cc' overruns")
+        if (cc == "dur ") dur = le32(p, i + 8)
+        if (cc == "data") content = java.util.Arrays.copyOfRange(p, i + 8, i + 8 + sz)
+        i += 8 + sz
+      }
+      if (dur < 0 || content == null) bad("wave missing dur /data chunks")
+      DecodedMedia(0, 0, dur, 0, content)
+    case "video/mp4" =>
+      // ISO-BMFF: size(BE) type boxes; "ftyp" first, metadata in the "gmvh" box
+      // (w/h/duration/frames, BE32 each), payload in "mdat"
+      if (p.length < 8 || fourcc(p, 4) != "ftyp") bad("bmff missing ftyp")
+      var i = 0
+      var meta: Array[Int] = null
+      var content: Array[Byte] = null
+      while (i + 8 <= p.length) {
+        val sz = be32(p, i)
+        val cc = fourcc(p, i + 4)
+        if (sz < 8 || i + sz > p.length) bad(s"bmff box '$cc' overruns")
+        if (cc == "gmvh") {
+          if (sz != 24) bad("gmvh box size")
+          meta = Array(be32(p, i + 8), be32(p, i + 12), be32(p, i + 16), be32(p, i + 20))
+        }
+        if (cc == "mdat") content = java.util.Arrays.copyOfRange(p, i + 8, i + sz)
+        i += sz
+      }
+      if (meta == null || content == null) bad("bmff missing gmvh/mdat boxes")
+      DecodedMedia(meta(0), meta(1), meta(2), meta(3), content)
+    case other => bad(s"unsupported mime $other")
+  }
+}
+
+/**
+ * STUB CODEC — the test-injectable fake (the reference's `dummyStrategy`,
+ * tests/test_basic.cpp:61-72): no parsing, dims peeked straight from the leading
+ * bytes, content = the raw bytes. MediaPipelineSpec injects it to prove the island
+ * is strategy-pluggable; production uses [[ContainerCodec]].
  */
 object StubMediaCodec extends MediaCodec {
-  def decode(mime: String, p: Array[Byte]): (Int, Int, Int, Int) = {
+  def decode(mime: String, p: Array[Byte]): DecodedMedia = {
     def b(i: Int) = p(i) & 0xff
     mime match {
-      case "image/png" => (64 + b(0), 64 + b(1), 0, 1)
-      case "audio/wav" => (0, 0, (b(2) << 8) | b(3), 0)
-      case _           => (64 + b(0), 64 + b(1), (b(2) << 8) | b(3), 1 + b(4) % 16)
+      case "image/png" => DecodedMedia(64 + b(0), 64 + b(1), 0, 1, p)
+      case "audio/wav" => DecodedMedia(0, 0, (b(2) << 8) | b(3), 0, p)
+      case _ => DecodedMedia(64 + b(0), 64 + b(1), (b(2) << 8) | b(3), 1 + b(4) % 16, p)
     }
+  }
+}
+
+/** Container-byte synthesis shared by [[MediaPipeline.decodeAll]] and the specs:
+  * a minimal-but-valid typed container wrapping the md5-chain payload, with the
+  * metadata fields a real file carries embedded in the header (the values are
+  * derived from the payload's leading bytes at WRITE time and recovered by
+  * PARSING at read time — the construction->parse round trip is the subject).
+  * A deterministic ~1/16 subset of refs ([[corruptRef]]) gets its first magic
+  * byte flipped — the "invalid image" archetype. */
+object MediaContainers {
+  import DeterministicOcrEngine.{md5Bytes, md5Hex, hexVal}
+
+  val PngSig: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Refs whose md5's THIRD hex digit is 'f' carry a corrupted container
+    * (mirrored by the oracle: `substr(md5(ref), 3, 1) = 'f'`). */
+  def corruptRef(ref: String): Boolean = hexVal(md5Hex(ref).charAt(2)) == 15
+
+  private def be32(v: Int): Array[Byte] =
+    Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+  private def le16(v: Int): Array[Byte] = Array(v.toByte, (v >>> 8).toByte)
+  private def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  /** Wrap `body` in a valid container of the given mime; metadata fields are the
+    * SAME deterministic functions of the body's leading bytes as always
+    * (w = 64+b0, h = 64+b1, dur = b2<<8|b3, frames = 1+b4%16 — oracle-mirrored). */
+  def containerFor(ref: String, mime: String, body: Array[Byte]): Array[Byte] = {
+    def b(i: Int) = body(i) & 0xff
+    val out = mime match {
+      case "image/png" =>
+        PngSig ++ be32(13) ++ cc("IHDR") ++
+          be32(64 + b(0)) ++ be32(64 + b(1)) ++
+          Array[Byte](8, 2, 0, 0, 0) ++
+          md5Bytes(ref + ":crc").take(4) ++ body
+      case "audio/wav" =>
+        val riffSize = 4 + (8 + 16) + (8 + 4) + (8 + body.length)
+        cc("RIFF") ++ le32(riffSize) ++ cc("WAVE") ++
+          cc("fmt ") ++ le32(16) ++
+          le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16) ++
+          cc("dur ") ++ le32(4) ++ le32((b(2) << 8) | b(3)) ++
+          cc("data") ++ le32(body.length) ++ body
+      case _ =>
+        be32(16) ++ cc("ftyp") ++ cc("isom") ++ be32(0) ++
+          be32(24) ++ cc("gmvh") ++ be32(64 + b(0)) ++ be32(64 + b(1)) ++
+          be32((b(2) << 8) | b(3)) ++ be32(1 + b(4) % 16) ++
+          be32(8 + body.length) ++ cc("mdat") ++ body
+    }
+    if (corruptRef(ref)) out(0) = (out(0) ^ 0xff).toByte
+    out
   }
 }
 
@@ -112,8 +247,14 @@ object MediaPipeline {
       .select(col("s.media_ref").as("media_ref"))
       .distinct()
 
-  /** Synthesize + decode in one typed island pass. */
-  def decodeAll(docs: DataFrame, codec: MediaCodec = StubMediaCodec): Dataset[MediaDecoded] = {
+  /** Synthesize + decode in one typed island pass: the payload is wrapped in a
+    * real typed container ([[MediaContainers.containerFor]]) and the codec PARSES
+    * the header back (default [[ContainerCodec]]); a malformed container throws
+    * inside the codec and surfaces as a row-level error span — the
+    * `pixRead == null` contract, never a task failure. `n_bytes` and the content
+    * digest are defined over the decoded CONTENT stream (container framing bytes
+    * are transport, not content). */
+  def decodeAll(docs: DataFrame, codec: MediaCodec = ContainerCodec): Dataset[MediaDecoded] = {
     val spark = docs.sparkSession
     import spark.implicits._
     refs(docs).as[String].mapPartitions { it =>
@@ -122,13 +263,20 @@ object MediaPipeline {
           MediaDecoded(ref, "application/octet-stream", ok = false,
             "Unable to decode " + ref, 0, 0, 0, 0, 0, md5Hex(""))
         else {
-          val payload = payloadFor(ref)
           val mime = mimeFor(ref)
-          val (w, h, dur, nf) = codec.decode(mime, payload)
-          // digest of the HEX form (oracle parity: md5(ph) over the SQL-reconstructed
-          // hex string) — computed here so only the 32-char digest leaves the island
-          MediaDecoded(ref, mime, ok = true, null, payload.length, w, h, dur, nf,
-            md5Hex(hexOf(payload)))
+          val container = MediaContainers.containerFor(ref, mime, payloadFor(ref))
+          try {
+            val d = codec.decode(mime, container)
+            // digest of the content's HEX form (oracle parity: md5(ph) over the
+            // SQL-reconstructed hex string) — only the 32-char digest leaves the
+            // island
+            MediaDecoded(ref, mime, ok = true, null, d.content.length,
+              d.w, d.h, d.durationMs, d.nFrames, md5Hex(hexOf(d.content)))
+          } catch {
+            case _: IllegalArgumentException =>
+              MediaDecoded(ref, mime, ok = false, "bad container: " + ref,
+                0, 0, 0, 0, 0, md5Hex(""))
+          }
         }
       }
     }
@@ -165,27 +313,36 @@ object MediaPipeline {
         md5(concat(col("media_ref"), lit(":resize:"), col("out_w"), lit("x"), col("out_h"))))
       .orderBy(col("media_ref"))
 
-  /** Feature extraction inside the island (second pass, fused synth+extract). */
-  def features(docs: DataFrame): DataFrame = {
+  /** Feature extraction inside the island (second pass, fused synth+decode+extract):
+    * features are computed over the DECODED content stream, so a ref whose
+    * container fails to parse yields no feature row (same skip as the other
+    * ok-gated consumers). */
+  def features(docs: DataFrame, codec: MediaCodec = ContainerCodec): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val out = refs(docs).as[String]
       .filter((r: String) => r != null && !r.startsWith("missing-"))
       .mapPartitions { it =>
-        it.map { ref =>
-          val p = payloadFor(ref)
-          val strides = new Array[Long](8)
-          var sum = 0L; var mn = 255; var mx = 0
-          var i = 0
-          while (i < p.length) {
-            val b = p(i) & 0xff
-            sum += b; if (b < mn) mn = b; if (b > mx) mx = b
-            strides(i % 8) += b
-            i += 1
+        it.flatMap { ref =>
+          val mime = mimeFor(ref)
+          val container = MediaContainers.containerFor(ref, mime, payloadFor(ref))
+          try {
+            val p = codec.decode(mime, container).content
+            val strides = new Array[Long](8)
+            var sum = 0L; var mn = 255; var mx = 0
+            var i = 0
+            while (i < p.length) {
+              val b = p(i) & 0xff
+              sum += b; if (b < mn) mn = b; if (b > mx) mx = b
+              strides(i % 8) += b
+              i += 1
+            }
+            Some(MediaFeatures(ref, p.length, sum, mn, mx,
+              strides(0), strides(1), strides(2), strides(3),
+              strides(4), strides(5), strides(6), strides(7)))
+          } catch {
+            case _: IllegalArgumentException => None
           }
-          MediaFeatures(ref, p.length, sum, mn, mx,
-            strides(0), strides(1), strides(2), strides(3),
-            strides(4), strides(5), strides(6), strides(7))
         }
       }
     out.toDF().orderBy(col("media_ref"))

@@ -13,20 +13,67 @@ class MediaPipelineSpec extends AnyFunSuite {
   private val sfDir = "/root/testdata/sf0.001"
   private def docs = Interleave.docs(spark, sfDir)
 
-  test("decode covers every distinct media_ref; missing refs get the error channel") {
+  test("decode covers every distinct media_ref; missing AND corrupt refs get the error channel") {
     val dec = MediaPipeline.decode(docs).collect()
     val nRefs = MediaPipeline.refs(docs).count()
     assert(dec.length.toLong === nRefs)
     val bad = dec.filter(_.getAs[Int]("ok") == 0)
-    assert(bad.nonEmpty)
-    bad.foreach { r =>
-      assert(r.getAs[String]("media_ref").startsWith("missing-"))
+    val (missing, corrupt) =
+      bad.partition(_.getAs[String]("media_ref").startsWith("missing-"))
+    assert(missing.nonEmpty && corrupt.nonEmpty)
+    missing.foreach { r =>
       assert(r.getAs[String]("error")
         === "Unable to decode " + r.getAs[String]("media_ref"))
       assert(r.getAs[Int]("n_bytes") === 0)
     }
+    corrupt.foreach { r =>
+      assert(graft.operators.MediaContainers.corruptRef(r.getAs[String]("media_ref")))
+      assert(r.getAs[String]("error")
+        === "bad container: " + r.getAs[String]("media_ref"))
+      assert(r.getAs[Int]("n_bytes") === 0)
+    }
+    // every corrupt ref errors (none sneak through the parser)
+    assert(corrupt.length ===
+      dec.count(r => !r.getAs[String]("media_ref").startsWith("missing-")
+        && graft.operators.MediaContainers.corruptRef(r.getAs[String]("media_ref"))))
     // payload bytes never appear as a column of the decode surface
     assert(!dec.head.schema.fields.exists(_.dataType.typeName == "binary"))
+  }
+
+  test("container construction -> header parse round trip recovers the metadata") {
+    import graft.operators.{ContainerCodec, MediaContainers}
+    val refs = MediaPipeline.refs(docs).collect().map(_.getString(0))
+      .filter(r => !r.startsWith("missing-") && !MediaContainers.corruptRef(r))
+    assert(refs.length > 100)
+    refs.take(200).foreach { ref =>
+      val body = MediaPipeline.payloadFor(ref)
+      val mime = MediaPipeline.mimeFor(ref)
+      val d = ContainerCodec.decode(mime, MediaContainers.containerFor(ref, mime, body))
+      def b(i: Int) = body(i) & 0xff
+      assert(d.content.toSeq === body.toSeq, s"$ref content must round-trip")
+      mime match {
+        case "image/png" =>
+          assert((d.w, d.h, d.durationMs, d.nFrames) === (64 + b(0), 64 + b(1), 0, 1))
+        case "audio/wav" =>
+          assert((d.w, d.h, d.durationMs, d.nFrames) === (0, 0, (b(2) << 8) | b(3), 0))
+        case _ =>
+          assert((d.w, d.h, d.durationMs, d.nFrames)
+            === (64 + b(0), 64 + b(1), (b(2) << 8) | b(3), 1 + b(4) % 16))
+      }
+    }
+  }
+
+  test("the codec is strategy-injectable (dummyStrategy analogue): the stub skips validation") {
+    import graft.operators.{MediaContainers, StubMediaCodec}
+    // the injected fake peeks bytes without parsing, so even CORRUPT containers
+    // "decode" — proof the island's behavior is the strategy's, not hard-wired
+    val dec = MediaPipeline.decodeAll(docs, StubMediaCodec).toDF()
+    val corruptOk = dec
+      .filter(!col("media_ref").startsWith("missing-"))
+      .filter(col("ok"))
+      .collect()
+      .count(r => MediaContainers.corruptRef(r.getAs[String]("media_ref")))
+    assert(corruptOk > 0, "stub codec must not reject corrupt containers")
   }
 
   test("frame count per video equals its decoded n_frames; t_ms is monotone") {
