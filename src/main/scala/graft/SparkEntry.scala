@@ -323,11 +323,13 @@ object SparkEntry {
     * generation arithmetic — a rewrite that loses/duplicates rows, or mis-numbers
     * the new generation, hash-mismatches. The batch split key is a HASH of doc_id
     * (never `id % n` — composed moduli with the bucket key would skew the cells). */
-  private def snapshotCompact(s: SparkSession, dir: String): DataFrame = {
+  private def snapshotCompact(s: SparkSession, dir: String,
+      tag: String = "snapcompact",
+      layout: Seq[org.apache.spark.sql.Column] = Seq.empty): DataFrame = {
     import graft.sources.SnapshotSink
     val nb = SnapshotSink.DefaultBuckets
     val out = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft-snapcompact-query-" + dir.replaceAll("[^a-z0-9.]", "-"))
+      sys.props("java.io.tmpdir"), s"graft-$tag-query-" + dir.replaceAll("[^a-z0-9.]", "-"))
     SnapshotSink.deleteRecursively(out)
     val docs = Interleave.materializedDocs(s, dir)
     val nBatches = OracleSql.CompactBatches
@@ -341,12 +343,24 @@ object SparkEntry {
           docs.filter(pmod(hash(col("doc_id")), lit(nBatches)) === b)),
         out.toString, b.toLong, nb)
     }
-    SnapshotSink.compact(s, out.toString, nb)
+    SnapshotSink.compact(s, out.toString, nb, layout = layout)
     SnapshotSink.lineage(s, out.toString)
       .select(pmod(col("bucket"), lit(nb.toLong)).cast("int").as("bucket"),
         floor(col("bucket") / nb).cast("int").as("generation"),
         col("rows").as("rows_"), col("n_spans"), col("n_err"))
       .orderBy(col("bucket"))
+  }
+
+  /** [[snapshotCompact]] with a Z-ORDER layout over (lang, offset) installed at
+    * rewrite time ([[graft.operators.Layout.zval]]): SHARES snapshot_compact's
+    * DuckDB oracle — byte-for-byte identical logical content under the gate IS the
+    * proof that the layout key changes only the physical clustering; the pruning
+    * win itself is executed-scan-metric evidence in SnapshotCompactSpec. */
+  private def snapshotCompactSorted(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Layout
+    snapshotCompact(s, dir, tag = "snapcompactz",
+      layout = Seq(Layout.zval(Layout.langIdx(col("lang")),
+        Layout.clamp16(col("offset")))))
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -364,6 +378,7 @@ object SparkEntry {
     "snapshot_lineage" -> (snapshotLineage(_, _)),
     "snapshot_resume" -> (snapshotResume(_, _)),
     "snapshot_compact" -> (snapshotCompact(_, _)),
+    "snapshot_compact_sorted" -> (snapshotCompactSorted(_, _)),
     "snapshot_timetravel" -> (snapshotTimetravel(_, _)),
     "snapshot_changes" -> (snapshotChanges(_, _)),
     "snapshot_takedown" -> (snapshotTakedown(_, _)),
@@ -546,6 +561,10 @@ object SparkEntry {
     "snapshot_lineage" -> OracleSql.snapshotLineage,
     "snapshot_resume" -> OracleSql.snapshotResume,
     "snapshot_compact" -> OracleSql.snapshotCompact,
+    // identical logical content to snapshot_compact BY DESIGN (the z-order layout
+    // key changes physical clustering only) — sharing the oracle IS the identity
+    // proof under the gate, same move as decontaminate_bloom
+    "snapshot_compact_sorted" -> OracleSql.snapshotCompact,
     "snapshot_timetravel" -> OracleSql.snapshotTimetravel,
     "snapshot_changes" -> OracleSql.snapshotChanges,
     "snapshot_takedown" -> OracleSql.snapshotTakedown,

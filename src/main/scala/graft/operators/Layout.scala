@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -36,6 +36,26 @@ object Layout {
 
   /** Bits interleaved per dimension (16+16 -> a 32-bit significant z-value). */
   val ZBits = 16
+
+  /** Generic Morton key over two LONG dimensions (dim1 odd bit positions, dim2
+    * even — the same interleave as [[zorderKey]]'s SQL form, as a compositional
+    * Column for OTHER tables): the layout key [[graft.sources.SnapshotSink.compact]]
+    * range-partitions on when a caller asks for a z-ordered rewrite. Pure bit
+    * arithmetic, codegen'd, no UDF. Callers clamp dimensions to [[ZBits]] bits. */
+  def zval(dim1: Column, dim2: Column): Column =
+    (0 until ZBits).foldLeft(lit(0L)) { (acc, i) =>
+      acc + shiftleft(shiftright(dim1, i).bitwiseAND(lit(1L)), 2 * i + 1) +
+        shiftleft(shiftright(dim2, i).bitwiseAND(lit(1L)), 2 * i)
+    }
+
+  /** The corpus language dimension as a LONG index column (unknown langs to the
+    * tail index — the same encoding the zorder_key gate pins). */
+  def langIdx(lang: Column): Column =
+    coalesce(element_at(typedLit(LangIndex.toMap), lang), lit(LangIndex.size))
+      .cast("long")
+
+  /** Clamp a numeric dimension to the [[ZBits]]-bit range. */
+  def clamp16(c: Column): Column = least(greatest(c.cast("long"), lit(0L)), lit(65535L))
 
   /** (doc_id, lang_idx, n_c, zval), ordered by doc_id. */
   def zorderKey(documents: DataFrame): DataFrame = {

@@ -839,13 +839,21 @@ object SnapshotSink {
    * `compactThreshold` hook, which runs only after the checkpoint has advanced past
    * every drained batch.
    */
+  /** `layout`: optional COMPUTED clustering keys for the rewritten files (e.g. a
+    * [[graft.operators.Layout.zval]] z-order curve over (lang, offset)). Compaction
+    * is THE moment to install a multi-dimensional layout — the data is being
+    * rewritten anyway, so the z-clustering is free, and every later scan's min/max
+    * file skipping prunes range predicates on BOTH curve dimensions
+    * (SnapshotCompactSpec proves the pruning with executed-scan metrics). The keys
+    * are shuffle/clustering expressions only; nothing derived is persisted. */
   def compact(
       spark: SparkSession,
       outDir: String,
       nBuckets: Int = DefaultBuckets,
       waveSize: Int = DefaultBuckets,
       deepVerify: Boolean = true,
-      io: CommitIo = PosixCommitIo): CompactReport = {
+      io: CommitIo = PosixCommitIo,
+      layout: Seq[Column] = Seq.empty): CompactReport = {
     val out = Paths.get(outDir)
     val existing = readManifest(spark, outDir)
     val canonical = existing.map(_.bucket % nBuckets).distinct.size == existing.size
@@ -914,7 +922,10 @@ object SnapshotSink {
             .map(gen * nBuckets + _).toSet
           commitWaveFlat(spark, out, merged, targetIds, manifestLess, t0,
             expectNonEmpty = expectNonEmpty, io = io,
-            layoutCols = rewriteLayout(merged), spanMetrics = hasSpanMetrics(merged))
+            layoutCols = rewriteLayout(merged),
+            layoutExprs =
+              if (layout.isEmpty) None else Some(col("bucket") +: layout),
+            spanMetrics = hasSpanMetrics(merged))
         }
       // reconcile BEFORE the GC: if the rewrite lost rows, the merged generation is
       // already live (manifest swapped) but every source byte is still on disk
@@ -998,6 +1009,7 @@ object SnapshotSink {
       expectNonEmpty: Set[Long] = Set.empty,
       io: CommitIo = PosixCommitIo,
       layoutCols: Seq[String] = Seq("bucket", "doc_id", "offset"),
+      layoutExprs: Option[Seq[Column]] = None,
       spanMetrics: Boolean = true): (Seq[ManifestEntry], Long) = {
     val dataDir = out.resolve("data")
     val staging = out.resolve("staging")
@@ -1009,7 +1021,10 @@ object SnapshotSink {
     // file sizes balance by sampled distribution, and the trailing `offset` key
     // splits a pathological multi-page document across tasks instead of pinning
     // its whole span set to one writer (the write-side form of salting).
-    flat.repartitionByRange(layoutCols.map(col): _*)
+    // `layoutExprs` overrides with COMPUTED layout keys (a z-order curve from
+    // [[compact]]'s layout parameter): the expression is a shuffle key only —
+    // nothing derived is persisted into the data files.
+    flat.repartitionByRange(layoutExprs.getOrElse(layoutCols.map(col)): _*)
       .write.partitionBy("bucket").mode("overwrite").parquet(staging.toString)
 
     // verify + lineage by re-reading what was written (write-path corruption

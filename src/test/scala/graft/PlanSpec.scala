@@ -31,6 +31,7 @@ class PlanSpec extends AnyFunSuite {
   // test below.
   private val buildExecutes = Set(
     "snapshot_lineage", "snapshot_resume", "snapshot_compact",
+    "snapshot_compact_sorted",
     "snapshot_timetravel", "snapshot_changes", "snapshot_takedown",
     "snapshot_upsert",
     "neardup_pairs", "top_terms", "dedup_groups", "dedup_apply",

@@ -47,6 +47,58 @@ class SnapshotCompactSpec extends AnyFunSuite {
     }
   }
 
+  private def scannedRows(df: DataFrame): Long = {
+    df.collect() // execute THIS plan so the scan metrics populate
+    val scan = (df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }).collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scan.nonEmpty, "no FileSourceScanExec in executed plan")
+    scan.map(_.metrics("numOutputRows").value).sum
+  }
+
+  test("z-ordered compaction rewrite: identical content, better second-dimension pruning") {
+    import graft.operators.Layout
+    val outD = tmpDir("layout-default"); val outZ = tmpDir("layout-z")
+    Seq(outD, outZ).foreach(commitAsStream(_, 2))
+    // at spec scale AQE's size-based coalescing folds the whole rewrite into ONE
+    // file per bucket (correct at production file sizes, where a bucket holds
+    // many 128MB files) — pin the partition count so each bucket gets several
+    // files and min/max skipping has granularity to work with
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try {
+      SnapshotSink.compact(spark, outD, NB)
+      SnapshotSink.compact(spark, outZ, NB,
+        layout = Seq(Layout.zval(Layout.langIdx(col("lang")),
+          Layout.clamp16(col("offset")))))
+    } finally spark.conf.set(coalesceKey, prev)
+    // the layout key changes physical clustering ONLY
+    assert(canon(SnapshotSink.readCommitted(spark, outZ))
+      === canon(SnapshotSink.readCommitted(spark, outD)))
+
+    // second-dimension range predicate: high offsets exist only in the skew tail
+    // (every 37th doc's +24 media spans) — under the default (bucket, doc_id,
+    // offset) clustering those rows sit inside most doc-range files; under the
+    // z(lang, offset) curve they cluster into few files, so parquet min/max
+    // skipping drops the rest (same instrument as ZOrderSpec)
+    def q(out: String): DataFrame =
+      SnapshotSink.readCommitted(spark, out).filter(col("offset") >= 32)
+    Seq(outD, outZ).foreach { o =>
+      val fmt = q(o).queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(fmt.linesIterator.exists(l =>
+        l.contains("PushedFilters") && l.contains("offset")), fmt)
+    }
+    val defRows = scannedRows(q(outD))
+    val zRows = scannedRows(q(outZ))
+    assert(q(outD).count() === q(outZ).count())
+    assert(zRows < defRows,
+      s"z-compacted layout scanned $zRows rows vs default $defRows")
+  }
+
   test("compact merges stream batches into one canonical generation, row-exact") {
     val out = tmpDir("merge")
     commitAsStream(out, 3)
