@@ -113,6 +113,38 @@ object SparkEntry {
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** INCREMENTAL RE-EMBEDDING consumer (the downstream pipeline a heal/upsert
+    * triggers): the embeddings table is committed through the snapshot protocol in
+    * two waves (hash-bucketed on the PORTABLE u32(md5) key — never `vec_id % n`,
+    * never Spark-private hash()); the consumer diffs manifest versions 1 -> 2
+    * ([[graft.sources.SnapshotSink.readChangesBetween]] — O(changed buckets)
+    * bytes, ReembedSpec pins the scan's file count) and PQ-encodes ONLY the
+    * changed buckets' vectors against the committed FULL-CORPUS codebook (trained
+    * first, explicitly, so a partial input can never poison the shared model
+    * store). Output = the changed buckets' codes, bucket-stamped. */
+  private def reembedIncremental(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHash
+    import graft.sources.{SnapshotSink, TableSnapshot}
+    val nb = Similarity.ReembedBuckets
+    val out = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-reembed-query-" + dir.replaceAll("[^a-z0-9.]", "-"))
+    SnapshotSink.deleteRecursively(out)
+    val emb = embeddings(s, dir)
+    val bucketCol = pmod(
+      PortableHash.md5u32(concat(lit("rb:"), col("vec_id"))), lit(nb.toLong))
+    TableSnapshot.run(emb.withColumn("bucket", bucketCol.cast("int")),
+      out.toString, nb, waveSize = nb / 2)
+    // codebook = the committed full-corpus model (same store as pq_encode/pq_topk);
+    // train-if-absent BEFORE restricting the input, so query ordering can never
+    // commit a subset-trained codebook under the shared key
+    Similarity.pqCodebook(emb, Some(pqDirFor(dir)))
+    val changed = SnapshotSink.readChangesBetween(s, out.toString, 1L, 2L)
+    Similarity.pqEncode(changed.drop("bucket"), store = Some(pqDirFor(dir)))
+      .withColumn("bucket", bucketCol.cast("int"))
+      .select(col("bucket"), col("vec_id"), col("sub"), col("code"), col("d2"))
+      .orderBy(col("vec_id"), col("sub"))
+  }
+
   private def spanMetrics(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.SpanMetricsAgg
     import graft.sources.SnapshotSink
@@ -481,6 +513,7 @@ object SparkEntry {
       Similarity.ivfPqTopK(embeddings(s, dir), store = Some(pqDirFor(dir)))),
     "pq_drift" -> ((s, dir) =>
       Similarity.pqDrift(embeddings(s, dir), store = Some(pqDirFor(dir)))),
+    "reembed_incremental" -> (reembedIncremental(_, _)),
     "semantic_dedup" -> ((s, dir) =>
       Similarity.semanticDedup(Similarity.withEmbMutants(embeddings(s, dir)))),
     "knn_graph" -> ((s, dir) =>
@@ -598,6 +631,7 @@ object SparkEntry {
     "pq_topk" -> OracleSqlSim.pqTopK,
     "ivfpq_topk" -> OracleSqlSim.ivfPqTopK,
     "pq_drift" -> OracleSqlSim.pqDrift,
+    "reembed_incremental" -> OracleSqlSim.reembedIncremental,
     "semantic_dedup" -> OracleSqlSim.semanticDedup,
     "knn_graph" -> OracleSqlSim.knnGraph,
     "sessionize" -> OracleSqlRef.sessionize,

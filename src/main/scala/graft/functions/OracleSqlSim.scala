@@ -284,6 +284,36 @@ object OracleSqlSim {
        |ORDER BY vec_id, sub""".stripMargin
   }
 
+  /** Mirror of SparkEntry.reembedIncremental: the SAME full-corpus-trained
+    * codebook as [[pqEncode]], but only the vectors whose portable hash bucket
+    * ([[PortableHash.u32Sql]] of 'rb:'||vec_id, mod
+    * [[graft.operators.Similarity.ReembedBuckets]]) falls in the SECOND commit
+    * wave (the upper half — exactly the buckets
+    * [[graft.sources.SnapshotSink.readChangesBetween]] surfaces between manifest
+    * versions 1 and 2 of the two-wave embeddings commit) have their codes
+    * recomputed. A consumer that re-encodes unchanged buckets, misses changed
+    * ones, or trains the codebook on the changed subset instead of the committed
+    * full-corpus model hash-mismatches. */
+  val reembedIncremental: String = {
+    import graft.operators.Similarity.{PqIters, ReembedBuckets}
+    val bkt =
+      s"(${PortableHash.u32Sql("'rb:' || CAST(vec_id AS VARCHAR)")} % $ReembedBuckets)"
+    s"""$pqCtes,
+       |af AS (
+       |  SELECT sv.vec_id, sv.sub, c.cell,
+       |         sv.sn2 + c.cn2 - 2 * ${dot("sv.sq", "c.cq")} AS d2
+       |  FROM svn sv JOIN cn$PqIters c ON c.sub = sv.sub
+       |),
+       |enc AS (
+       |  SELECT vec_id, sub, cell AS code, CAST(d2 AS BIGINT) AS d2
+       |  FROM af
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cell) = 1
+       |)
+       |SELECT CAST($bkt AS INT) AS bucket, vec_id, sub, code, d2
+       |FROM enc WHERE $bkt >= ${ReembedBuckets / 2}
+       |ORDER BY vec_id, sub""".stripMargin
+  }
+
   /** Mirror of Similarity.pqDrift: the pqEncode mirror wrapped as a CTE (nested
     * WITH — DuckDB-legal), rolled up per (sub, code). */
   val pqDrift: String =

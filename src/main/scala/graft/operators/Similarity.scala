@@ -515,6 +515,12 @@ object Similarity {
     * geometry, training constants, or the codebook schema. */
   val PqFormatVersion = 1
 
+  /** Bucket count for the committed-embeddings snapshot the incremental
+    * re-embedding consumer (`reembed_incremental`) diffs over; the bucket key is
+    * the PORTABLE u32(md5('rb:'||vec_id)) hash (never vec_id % n, and never
+    * Spark-private hash() — the oracle must compute the same routing). */
+  val ReembedBuckets = 8
+
   /** Bucket count for the committed codebook table (keyed on `sub`). */
   val PqStoreBuckets = 4
 

@@ -39,7 +39,11 @@ class PlanSpec extends AnyFunSuite {
     // pagerank's construction RUNS the 5 eager-checkpoint rounds (its join+agg
     // round topology is pinned by LinkGraphSpec instead); lm_score's registered
     // form commits the model TableSnapshot — its lazy ad-hoc form is swept below
-    "pagerank", "pagerank_anchors", "lm_score", "dsir_weights")
+    "pagerank", "pagerank_anchors", "lm_score", "dsir_weights",
+    // reembed_incremental's construction commits the embeddings snapshot + the
+    // codebook TableSnapshot (the diff subject); its encode join topology is the
+    // same literal-codebook fan-out pq_encode's plan-only form covers
+    "reembed_incremental")
 
   private val planChecked =
     SparkEntry.queries.keys.filterNot(buildExecutes).toSeq.sorted
