@@ -330,6 +330,46 @@ object SnapshotSink {
     io.publishFile(tmp, out.resolve("stream-batches.json"))
   }
 
+  /** Sidecar log of COMPACTED-AWAY composite ids (`compacted-ids.json`, JSON lines
+    * of {"bucket":N}): every id [[compact]] merges into a canonical generation is
+    * recorded here BEFORE its source directory is GC'd. [[commitStreamBatch]]
+    * skips these ids on re-delivery — without the log, a batch replayed after an
+    * ill-timed compaction (crash between sink commit and checkpoint advance, then
+    * compact + takedown while the stream is down) would find its ids missing from
+    * the manifest and RE-COMMIT them: every row duplicated against the canonical
+    * generation and, worse, takedown-deleted documents RESURRECTED
+    * (StreamingTakedownSpec drives exactly that interleave). A batch that merely
+    * reserved a generation but crashed before committing data is NOT in this log,
+    * so its re-delivery still commits — no data loss. */
+  private[graft] def readCompactedIds(out: Path): Set[Long] = {
+    val p = out.resolve("compacted-ids.json")
+    if (!Files.exists(p)) return Set.empty
+    val Line = """\{"bucket":(-?\d+)\}""".r
+    Files.readAllLines(p).asScala.flatMap {
+      case Line(b) => Some(b.toLong)
+      case _ => None
+    }.toSet
+  }
+
+  private def recordCompactedIds(out: Path, io: CommitIo, ids: Set[Long]): Unit = {
+    val body = ids.toSeq.sorted.map(b => s"""{"bucket":$b}""")
+      .mkString("", "\n", "\n")
+    val tmp = Files.createTempFile(out, ".compacted", ".tmp")
+    Files.writeString(tmp, body)
+    io.publishFile(tmp, out.resolve("compacted-ids.json"))
+  }
+
+  /** Audit entry point: run the two verification tiers over the ENTIRE manifest
+    * and return the bucket ids that FAIL (empty = every committed byte verifies).
+    * Deep mode re-hashes all data files in one distributed job — the post-incident
+    * check an operator runs after takedowns, compactions, or stream restarts. */
+  def verifySnapshot(spark: SparkSession, outDir: String,
+      deepVerify: Boolean = true): Seq[Long] = {
+    val out = Paths.get(outDir)
+    val (_, invalid) = verifyEntries(spark, out, readManifest(spark, outDir), deepVerify)
+    invalid.map(_.bucket).sorted
+  }
+
   def readManifest(spark: SparkSession, outDir: String): Seq[ManifestEntry] =
     parseManifest(spark, Paths.get(outDir).resolve("manifest.json"))
 
@@ -795,7 +835,12 @@ object SnapshotSink {
     val (valid, _) = verifyEntries(spark, out,
       existing.filter(e => ids.contains(e.bucket)), deepVerify)
     val committed = valid.map(_.bucket).toSet
-    val todo = ids.filterNot(committed)
+    // compacted-away ids are ALSO committed state (their rows live on in the
+    // canonical generation): a re-delivery arriving after an ill-timed compaction
+    // must skip them, or it would duplicate every row and resurrect takedown
+    // deletes (see [[readCompactedIds]])
+    val compacted = readCompactedIds(out)
+    val todo = ids.filterNot(committed).filterNot(compacted)
     if (todo.isEmpty) return Seq.empty
     // drop any stale (failed-verify) entries for the ids being rewritten
     val kept = existing.filterNot(e => todo.contains(e.bucket))
@@ -831,13 +876,17 @@ object SnapshotSink {
    * source corpus at its compacted id — streamed ingest, compaction, and batch
    * resume compose.
    *
-   * STREAMS: never compact while a micro-batch may be un-checkpointed in-flight.
-   * [[commitStreamBatch]]'s exactly-once relies on a re-delivered batch finding its
-   * composite ids committed and skipping; compaction rewrites those ids away, so a
-   * re-delivery after an ill-timed compact would re-commit rows the new generation
-   * already holds. Use [[graft.streaming.StreamingExtract.drainOnceCommitted]]'s
-   * `compactThreshold` hook, which runs only after the checkpoint has advanced past
-   * every drained batch.
+   * STREAMS: compact only after the checkpoint has advanced past every drained
+   * batch (the [[graft.streaming.StreamingExtract.drainOnceCommitted]]
+   * `compactThreshold` hook runs exactly there). The pathological interleave — a
+   * batch re-delivered AFTER its composite ids were compacted away (crash between
+   * sink commit and checkpoint advance, compaction while the stream is down) — is
+   * additionally made safe by the compacted-ids sidecar ([[readCompactedIds]]):
+   * every merged-away id is recorded before its bytes are reclaimed, and
+   * [[commitStreamBatch]] skips recorded ids on re-delivery, so the replay can
+   * neither duplicate rows nor resurrect takedown-deleted documents
+   * (StreamingTakedownSpec). The hook discipline remains the right deploy shape;
+   * the sidecar is the backstop that turns the scaladoc rule into a guarantee.
    */
   /** `layout`: optional COMPUTED clustering keys for the rewritten files (e.g. a
     * [[graft.operators.Layout.zval]] z-order curve over (lang, offset)). Compaction
@@ -936,6 +985,10 @@ object SnapshotSink {
           "directories left in place for inspection")
       manifest = newManifest
       totalRows += waveRows
+      // record the merged-away ids BEFORE reclaiming their bytes: once the log
+      // holds an id, a re-delivered stream batch skips it ([[commitStreamBatch]]);
+      // a crash between the record and the GC leaves orphan dirs for [[vacuum]]
+      recordCompactedIds(out, io, readCompactedIds(out) ++ srcIds)
       srcIds.foreach(b => deleteRecursively(bucketDir(out, b)))
     }
     deleteRecursively(out.resolve("staging"))
