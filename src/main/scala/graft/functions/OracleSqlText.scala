@@ -13,14 +13,14 @@ object OracleSqlText {
     * java.util.regex class in TextNormalizeImpl), trim (post-collapse the ends can
     * only be ASCII spaces, so trim == strip), lower. */
   val normalizeText: String = {
-    val noise = graft.operators.TextAnalysis.UnicodeNoise
+    import graft.operators.TextAnalysis.{NoiseMod, NoiseStride, UnicodeNoise}
     val norm =
       """lower(trim(regexp_replace(nfc_normalize(text), '[\t\n\x0B\f\r \p{Zs}\x{200B}]+', ' ', 'g')))"""
     s"""WITH ncorpus AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
-       |  SELECT doc_id + 500000 AS doc_id, text || '$noise' AS text
-       |  FROM documents WHERE doc_id % 7 = 0
+       |  SELECT doc_id + $NoiseStride AS doc_id, text || '$UnicodeNoise' AS text
+       |  FROM documents WHERE doc_id % $NoiseMod = 0
        |)
        |SELECT doc_id, $norm AS norm_text,
        |       CAST(CASE WHEN $norm <> text THEN 1 ELSE 0 END AS INT) AS changed
@@ -37,7 +37,7 @@ object OracleSqlText {
       |FROM tk GROUP BY term ORDER BY term""".stripMargin
 
   val topTerms: String =
-    """WITH tk AS (
+    s"""WITH tk AS (
       |  SELECT doc_id, len(string_split(text, ' ')) AS dl, t.t AS term
       |  FROM documents, UNNEST(string_split(text, ' ')) AS t(t)
       |),
@@ -57,7 +57,8 @@ object OracleSqlText {
       |  FROM sc
       |)
       |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf, df, score_e6
-      |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+      |FROM ranked WHERE rk <= ${graft.operators.TextAnalysis.TopTermsK}
+      |ORDER BY doc_id, rk""".stripMargin
 
   /** Mirror of TextAnalysis.lmScore: Witten-Bell-smoothed trigram conditionals as
     * scaled integers ((c_tri * 1e6) // (c_bi + types(bi)) with context counts
@@ -91,11 +92,11 @@ object OracleSqlText {
     * same two-md5 weight derivation ([[PortableHash]]'s u32 trick in its DuckDB
     * form), additive integer margin, threshold label. */
   val classifierScore: String = {
-    import graft.operators.TextAnalysis.{ClsBuckets, ClsWeightMod}
+    import graft.operators.TextAnalysis.{ClsBuckets, ClsWeightBias, ClsWeightMod}
     val bucket = PortableHash.u32Sql("'fh:' || f")
     val weight = PortableHash.u32Sql(
       s"'fw:' || CAST($bucket % $ClsBuckets AS VARCHAR)") +
-      s" % $ClsWeightMod - 1000"
+      s" % $ClsWeightMod - $ClsWeightBias"
     s"""WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
        |ft AS (
        |  SELECT doc_id, lang,
@@ -132,9 +133,9 @@ object OracleSqlText {
          |  SELECT tri, (c_tri * $LmProbScale) // (c_bi + t_bi) AS p_e6
          |  FROM ${pfx}ct JOIN ${pfx}cb ON substr(${pfx}ct.tri, 1, 2) = ${pfx}cb.bi
          |)""".stripMargin
-    val w = "(t_score_e6 * 1000000) // greatest(s_score_e6, 1)"
+    val w = s"(t_score_e6 * $LmProbScale) // greatest(s_score_e6, 1)"
     val key = PortableHash.u32Sql(
-      s"'$DsirSampleSalt:' || CAST(doc_id AS VARCHAR)") + " % 1000000"
+      s"'$DsirSampleSalt:' || CAST(doc_id AS VARCHAR)") + s" % $LmProbScale"
     s"""WITH dtg AS (
        |  SELECT doc_id, lang, substr(text, t.i, 3) AS tri
        |  FROM documents, UNNEST(generate_series(1, len(text) - 2)) AS t(i)
@@ -155,7 +156,7 @@ object OracleSqlText {
        |)
        |SELECT doc_id, lang, n_tris, t_score_e6, s_score_e6,
        |       CAST($w AS BIGINT) AS weight_e6,
-       |       CAST(CASE WHEN $key < least($w, 1000000) THEN 1 ELSE 0 END AS INT) AS sampled
+       |       CAST(CASE WHEN $key < least($w, $LmProbScale) THEN 1 ELSE 0 END AS INT) AS sampled
        |FROM sc ORDER BY doc_id""".stripMargin
   }
 

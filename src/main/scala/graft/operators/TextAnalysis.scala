@@ -158,6 +158,9 @@ object TextAnalysis {
     * tokenization or the tf schema. */
   val TfFormatVersion = 1
 
+  /** Terms kept per document by [[topTerms]] (oracle-interpolated). */
+  val TopTermsK = 3
+
   /** Bucket count for the committed tf table (matches [[Dedup.SigBuckets]] logic:
     * derived tables are cheap per bucket, so finer resume granularity is free). */
   val TfBuckets = 16
@@ -173,7 +176,7 @@ object TextAnalysis {
     * verified buckets (VERDICT r3 #4); the caller must key the directory by corpus
     * fingerprint + [[TfFormatVersion]]. Without it (ad-hoc/test form) it is lazily
     * localCheckpoint-ed: executor-local blocks, fine on one machine. */
-  def topTerms(documents: DataFrame, k: Int = 3,
+  def topTerms(documents: DataFrame, k: Int = TopTermsK,
       tfStore: Option[String] = None): DataFrame = {
     val n = documents.count() // corpus size: one tiny job, broadcast as a literal
     val tfRaw = documents
@@ -238,11 +241,18 @@ object TextAnalysis {
     " Cafe\u0301 CAF\u00C9\u00A0joined\u3000wide\u2009thin zero\u200Bwidth\tTAB" +
     "  Twice \u0130stanbul \u039F\u03A3\r\n" // U+0130/U+03A3: simple-vs-full case traps
 
-  /** documents + Unicode-noised copies of every 7th doc (id + 500000). */
+  /** Unicode-noise mutant selector and id stride — interpolated into the DuckDB
+    * mirror (OracleSqlText.normalizeText), never hand-duplicated (ADVICE r4's
+    * literal-hygiene sweep). */
+  val NoiseMod = 7
+  val NoiseStride = 500000L
+
+  /** documents + Unicode-noised copies of every [[NoiseMod]]th doc
+    * (id + [[NoiseStride]]). */
   def withUnicodeNoise(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"), col("text")).unionByName(
-      documents.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 500000).as("doc_id"),
+      documents.filter(col("doc_id") % NoiseMod === 0)
+        .select((col("doc_id") + NoiseStride).as("doc_id"),
           concat(col("text"), lit(UnicodeNoise)).as("text")))
 
   /** Canonical normalization (NFC -> whitespace collapse -> trim -> lower; see
@@ -416,10 +426,10 @@ object TextAnalysis {
         expr("t_sum DIV n_tris").as("t_score_e6"),
         expr("s_sum DIV n_tris").as("s_score_e6"))
       .withColumn("weight_e6",
-        expr("(t_score_e6 * 1000000) DIV greatest(s_score_e6, 1)"))
+        expr(s"(t_score_e6 * $LmProbScale) DIV greatest(s_score_e6, 1)"))
       .withColumn("sampled",
         (pmod(md5u32(concat_ws(":", lit(DsirSampleSalt), col("doc_id"))),
-          lit(1000000L)) < least(col("weight_e6"), lit(1000000L))).cast("int"))
+          lit(LmProbScale)) < least(col("weight_e6"), lit(LmProbScale))).cast("int"))
       .orderBy(col("doc_id"))
   }
 
@@ -427,9 +437,12 @@ object TextAnalysis {
   // Hashed linear classifier inference (the fastText-quality-filter slot)
   // ------------------------------------------------------------------------------
 
-  /** Feature-hash buckets (2^16) and weight modulus (weights in [-1000, 1000]). */
+  /** Feature-hash buckets (2^16) and weight modulus (weights in
+    * [-ClsWeightBias, +ClsWeightBias]); the bias centers the modulus range on
+    * zero and is derived, never restated (oracle-interpolated). */
   val ClsBuckets = 65536L
   val ClsWeightMod = 2001L
+  val ClsWeightBias: Long = (ClsWeightMod - 1) / 2
 
   /** Weight of one feature: bucket = u32(md5("fh:"||f)) % ClsBuckets, then
     * w = u32(md5("fw:"||bucket)) % ClsWeightMod - 1000. The md5-derived weight
@@ -441,7 +454,8 @@ object TextAnalysis {
   def featureWeight(f: Column): Column = {
     import graft.functions.PortableHash.md5u32
     val bucket = pmod(md5u32(concat(lit("fh:"), f)), lit(ClsBuckets))
-    pmod(md5u32(concat(lit("fw:"), bucket.cast("string"))), lit(ClsWeightMod)) - 1000L
+    pmod(md5u32(concat(lit("fw:"), bucket.cast("string"))), lit(ClsWeightMod)) -
+      ClsWeightBias
   }
 
   /**
