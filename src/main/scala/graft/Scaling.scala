@@ -26,8 +26,47 @@ object Scaling {
     runPhase(spark, sfDir, replicate, "full")
 
   /** Pipeline prefixes for per-phase attribution (SPARK_GRAFT_PHASE in the pinned
-    * worker): scan -> +extract (narrow) -> +sorted reassembly -> full skew-routed. */
+    * worker): scan -> +extract (narrow) -> +sorted reassembly -> full skew-routed.
+    * The PROTOCOL family (commit/takedown/changes) times the snapshot-commit
+    * pipeline instead — the commit-heavy queries' cost shape (VERDICT r4 #7):
+    * extraction -> staged write -> re-read metrics -> publish -> distributed hash
+    * -> manifest republish, plus the takedown rewrite / changelog read on top.
+    * Differences between adjacent protocol rows attribute the delete/diff cost;
+    * the gap to 'full' attributes the commit machinery itself. */
   def runPhase(spark: SparkSession, sfDir: String, replicate: Int, phase: String): Unit = {
+    import graft.sources.SnapshotSink
+    val ProtocolPhases = Set("commit", "takedown", "changes")
+    if (ProtocolPhases(phase)) {
+      val nb = SnapshotSink.DefaultBuckets
+      // bucket-partitioned corpus: the production layout the wave filter prunes on
+      val docs = Interleave.materializedDocsBucketed(spark, sfDir, nb, replicate)
+      val out = java.nio.file.Paths.get("/dev/shm/graft-shuffle",
+        s"scaling-snap-$phase")
+      SnapshotSink.deleteRecursively(out) // fresh protocol cycle per rep
+      // two waves => two manifest versions (what the changes diff consumes)
+      SnapshotSink.run(docs, out.toString, nb, waveSize = nb / 2)
+      phase match {
+        case "takedown" =>
+          // bounded driver-side victim list (the deleteDocs contract): ~1k ids
+          // spread across all buckets via the takedown selector. Replicated
+          // corpora shift each replica's ids by the Interleave stride (1e7), so
+          // victims enumerate (replica, base-id) pairs — never a flat 0..n range
+          val n = corpusDocs(spark, sfDir, replicate)
+          val perReplica = n / math.max(replicate, 1)
+          val victims = (for {
+            r <- Iterator.range(0, math.max(replicate, 1))
+            d <- Iterator.range(0L, perReplica)
+            if d % graft.functions.OracleSql.TakedownMod ==
+              graft.functions.OracleSql.TakedownRes
+          } yield f"doc-${r * 10000000L + d}%013d").take(1000).toSeq
+          SnapshotSink.deleteDocs(spark, out.toString, victims, nb)
+        case "changes" =>
+          SnapshotSink.readChangesBetween(spark, out.toString, 1L, 2L)
+            .write.format("noop").mode("overwrite").save()
+        case _ => ()
+      }
+      return
+    }
     // input = materialized corpus TABLE (the production contract is a table scan;
     // synthesizing inline would re-evaluate the synthesis expression per consumer
     // and measure corpus generation, not extraction)
@@ -186,8 +225,10 @@ object Scaling {
     val phase = sys.env.getOrElse("SPARK_GRAFT_PHASE", "full")
     // a typo'd phase would run SOMETHING, log it under the unknown tag, and be
     // silently excluded from every report — reject it before spending minutes
-    require(Set("scan", "flat", "sorted", "full", "full2x")(phase),
-      s"unknown SPARK_GRAFT_PHASE '$phase' (expected scan|flat|sorted|full|full2x)")
+    require(Set("scan", "flat", "sorted", "full", "full2x",
+        "commit", "takedown", "changes")(phase),
+      s"unknown SPARK_GRAFT_PHASE '$phase' " +
+        "(expected scan|flat|sorted|full|full2x|commit|takedown|changes)")
     val pinned = new java.io.File("/usr/bin/taskset").exists() &&
       !sys.env.contains("SPARK_GRAFT_UNPINNED")
 
@@ -380,16 +421,29 @@ object Scaling {
           // phase verdict computed FROM the logged phase samples of THIS pair —
           // never a hardcoded conclusion (a future sample set could reveal a real
           // serial stage, and the regenerated report must say so)
-          val supPhases = Seq("scan", "flat", "sorted").flatMap { ph =>
-            val rs = supAll.filter(phaseOf(_) == ph)
-            if (rs.isEmpty) None
-            else {
-              val es = rs.map(l => (field(l, "secs_lo") / field(l, "secs_hi")) / 4.0)
-                .sorted
-              Some(ph -> es(es.size / 2))
+          def phaseMedians(names: Seq[String]): Seq[(String, Double)] =
+            names.flatMap { ph =>
+              val rs = supAll.filter(phaseOf(_) == ph)
+              if (rs.isEmpty) None
+              else {
+                val es = rs.map(l => (field(l, "secs_lo") / field(l, "secs_hi")) / 4.0)
+                  .sorted
+                Some(ph -> es(es.size / 2))
+              }
             }
-          }
-          val phaseVerdict =
+          val supPhases = phaseMedians(Seq("scan", "flat", "sorted"))
+          // the commit-heavy family is NOT a pipeline prefix — it gets its own
+          // clause, never the slowest-prefix-stage sentence (VERDICT r4 #7)
+          val protoPhases = phaseMedians(Seq("commit", "takedown", "changes"))
+          val protoVerdict =
+            if (protoPhases.isEmpty) ""
+            else {
+              val txt = protoPhases.map { case (p, e) => f"$p $e%.2f" }.mkString(", ")
+              s"; protocol-family medians ($txt) attribute the commit-heavy " +
+                "queries' scaling to the same shared-DRAM+write wall, not to a " +
+                "serial stage in the commit cycle"
+            }
+          val phaseVerdict = (
             if (supPhases.isEmpty) ""
             else {
               val txt = supPhases.map { case (p, e) => f"$p $e%.2f" }.mkString(", ")
@@ -401,7 +455,7 @@ object Scaling {
                 s"; per-phase medians ($txt vs full ${f"$supEff%.2f"}) put the " +
                   s"slowest-scaling stage at '${slowest._1}' " +
                   f"(${slowest._2}%.2f) — detail in BENCH/BASELINE_${supLo}to$supHi.md"
-            }
+            }) + protoVerdict
           val supRead =
             if (supEff >= 0.8)
               """the >= 0.8 gate is MET where the hardware is not the binding
@@ -490,7 +544,8 @@ object Scaling {
     // were logged): where wall time and scaling loss live along the pipeline
     // every accepted SPARK_GRAFT_PHASE value has a row here — a phase that can be
     // run but never reported would be write-only telemetry (ADVICE r3)
-    val byPhase = Seq("scan", "flat", "sorted", "full", "full2x")
+    val byPhase = Seq("scan", "flat", "sorted", "full", "full2x",
+        "commit", "takedown", "changes")
       .map(ph => ph -> pairLines.filter(phaseOf(_) == ph))
       .filter(_._2.nonEmpty)
     val phaseSection =
@@ -503,7 +558,13 @@ object Scaling {
           "full" -> "flat + skew-routed re-assembly (headline job)",
           "full2x" -> ("flat + COMPOSED re-assembly (same skew routing as full; " +
             "differential vs full: the composed form's double extraction cost — " +
-            "NOT the routing gain)"))
+            "NOT the routing gain)"),
+          "commit" -> ("PROTOCOL family: extraction -> 2-wave snapshot commit " +
+            "(staged write, re-read metrics, publish, distributed hash, manifest)"),
+          "takedown" -> ("commit + deleteDocs of ~1k victims (copy-on-write bucket " +
+            "rewrites; differential vs commit = the takedown cost)"),
+          "changes" -> ("commit + v1->v2 changelog read (differential vs commit = " +
+            "the incremental-diff cost)"))
         val rows = byPhase.map { case (ph, rs) =>
           val effs = rs
             .map(l => (field(l, "secs_lo") / field(l, "secs_hi")) / (hi.toDouble / lo))
