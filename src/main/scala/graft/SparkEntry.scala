@@ -237,6 +237,37 @@ object SparkEntry {
       .orderBy(col("version"))
   }
 
+  /** ROLLBACK under the DuckDB gate: the same 2-wave commit as
+    * [[snapshotTimetravel]] (versions 1 and 2), then
+    * [[graft.sources.SnapshotSink.restore]] to version 1 — a metadata-only
+    * republish of v1's manifest as version 3 (Iceberg `rollback` semantics; the
+    * rolled-back-FROM version stays readable history). For every version the query
+    * emits both the manifest totals and the version-resolved DATA scan's row count,
+    * so a restore that rewrites data, resurrects wave-2 rows, points at the wrong
+    * file set, or fails to republish hash-mismatches: version 3 must read exactly
+    * version 1's bytes while version 2 stays intact. The loud-failure half of the
+    * contract (restore AFTER a physical takedown must throw, never resurrect) is
+    * SnapshotRestoreSpec's subject — file-reclaim timing can't be oracle-predicted. */
+  private def snapshotRestore(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotSink
+    val nb = SnapshotSink.DefaultBuckets
+    val out = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-snaprestore-query-" + dir.replaceAll("[^a-z0-9.]", "-"))
+    SnapshotSink.deleteRecursively(out)
+    SnapshotSink.run(Interleave.materializedDocsBucketed(s, dir, nb), out.toString,
+      nBuckets = nb, waveSize = nb / 2)
+    SnapshotSink.restore(s, out.toString, toVersion = 1L)
+    val rows = SnapshotSink.versions(out.toString).map { v =>
+      val entries = SnapshotSink.readManifestAt(s, out.toString, v)
+      val readRows = SnapshotSink.readCommittedAt(s, out.toString, v).count()
+      (v.toInt, entries.size, entries.map(_.rows).sum, readRows,
+        entries.map(_.n_err).sum)
+    }
+    import s.implicits._
+    rows.toDF("version", "n_buckets", "rows_", "rows_read", "n_err")
+      .orderBy(col("version"))
+  }
+
   /** Incremental CHANGE read (the changelog consumer) under the DuckDB gate: after
     * the same 2-wave commit as [[snapshotTimetravel]],
     * [[graft.sources.SnapshotSink.readChangesBetween]] (v1 -> v2) must surface
@@ -412,6 +443,7 @@ object SparkEntry {
     "snapshot_compact" -> (snapshotCompact(_, _)),
     "snapshot_compact_sorted" -> (snapshotCompactSorted(_, _)),
     "snapshot_timetravel" -> (snapshotTimetravel(_, _)),
+    "snapshot_restore" -> (snapshotRestore(_, _)),
     "snapshot_changes" -> (snapshotChanges(_, _)),
     "snapshot_takedown" -> (snapshotTakedown(_, _)),
     "snapshot_upsert" -> (snapshotUpsert(_, _)),
@@ -599,6 +631,7 @@ object SparkEntry {
     // proof under the gate, same move as decontaminate_bloom
     "snapshot_compact_sorted" -> OracleSql.snapshotCompact,
     "snapshot_timetravel" -> OracleSql.snapshotTimetravel,
+    "snapshot_restore" -> OracleSql.snapshotRestore,
     "snapshot_changes" -> OracleSql.snapshotChanges,
     "snapshot_takedown" -> OracleSql.snapshotTakedown,
     "snapshot_upsert" -> OracleSql.snapshotUpsert,

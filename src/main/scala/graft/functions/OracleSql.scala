@@ -196,6 +196,28 @@ object OracleSql {
        |LEFT JOIN per_bucket b ON b.bucket < ${SnapshotBuckets / 2} * v.version
        |GROUP BY v.version ORDER BY version""".stripMargin
 
+  /** Mirror of SparkEntry.snapshotRestore: after the 2-wave commit, a rollback to
+    * version 1 publishes version 3 whose manifest AND data scan must equal version
+    * 1's exactly (waves = CASE WHEN version = 3 THEN 1 ELSE version END), while
+    * version 2 stays fully readable — restore is metadata-only, so it can neither
+    * lose wave-2 bytes from history nor leak them into the restored HEAD. */
+  val snapshotRestore: String =
+    s"""$extractionCtes,
+       |per_bucket AS (
+       |  SELECT CAST(CAST(substr(doc_id, 5) AS BIGINT) % $SnapshotBuckets AS INT) AS bucket,
+       |         CAST(count(*) AS BIGINT) AS rows_,
+       |         CAST(sum(CASE WHEN error IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_err
+       |  FROM extracted GROUP BY 1
+       |)
+       |SELECT v.version,
+       |       CAST(${SnapshotBuckets / 2} * v.waves AS INT) AS n_buckets,
+       |       CAST(coalesce(sum(b.rows_), 0) AS BIGINT) AS rows_,
+       |       CAST(coalesce(sum(b.rows_), 0) AS BIGINT) AS rows_read,
+       |       CAST(coalesce(sum(b.n_err), 0) AS BIGINT) AS n_err
+       |FROM (VALUES (1, 1), (2, 2), (3, 1)) AS v(version, waves)
+       |LEFT JOIN per_bucket b ON b.bucket < ${SnapshotBuckets / 2} * v.waves
+       |GROUP BY v.version, v.waves ORDER BY version""".stripMargin
+
   /** Mirror of SparkEntry.snapshotChanges: the incremental diff between history
     * versions 1 and 2 of a 2-wave commit is exactly the SECOND wave's buckets
     * (nBuckets/2 .. nBuckets-1, ascending wave order), each with its full per-bucket

@@ -471,6 +471,54 @@ object SnapshotSink {
     drop
   }
 
+  /** Outcome of a [[restore]]: the version rolled back to, the NEW version the
+    * rollback published as, and how many manifest entries it carries. */
+  final case class RestoreReport(toVersion: Long, newVersion: Long, nEntries: Int)
+
+  /** ROLLBACK the table to history version `toVersion` by republishing that
+    * version's manifest as a NEW version — the Iceberg `rollback` / Delta RESTORE
+    * shape. Metadata-only: no data file is read, written, or moved; HEAD simply
+    * points at the old file set again, and the rolled-back-FROM versions stay in
+    * history (a restore is an auditable commit, not an erasure — re-restoring
+    * forward is just another [[restore]]).
+    *
+    * Fails LOUDLY ([[IllegalStateException]]) when any file the target version
+    * references has been physically reclaimed (a [[deleteDocs]] takedown rewrite,
+    * compaction GC, [[vacuum]]): a takedown is deliberately unrecoverable, so a
+    * rollback can never resurrect deleted bytes — the same contract as
+    * [[readCommittedAt]]'s expired-version guard, checked against recorded sizes
+    * (and, with `deepVerify`, a distributed re-hash of every referenced byte).
+    *
+    * Scale shape: O(metadata) driver work; `deepVerify` adds ONE batched
+    * distributed hash job over the restored file set (the commit-time verify tier
+    * — executors stream bytes, the driver sees digests).
+    *
+    * Interaction with GC: after a rollback, buckets introduced after `toVersion`
+    * are unreferenced by HEAD; [[vacuum]] would reclaim them and EXPIRE the
+    * rolled-back-from versions — run it only once that history is disposable.
+    * Tags are untouched (they pin versions, not HEAD). */
+  def restore(
+      spark: SparkSession,
+      outDir: String,
+      toVersion: Long,
+      deepVerify: Boolean = false,
+      io: CommitIo = PosixCommitIo): RestoreReport = {
+    val out = Paths.get(outDir)
+    val hist = versions(outDir)
+    require(hist.contains(toVersion),
+      s"cannot restore to version $toVersion — not in history [${hist.mkString(", ")}]")
+    val entries = readManifestAt(spark, outDir, toVersion)
+    val (valid, invalid) = verifyEntries(spark, out, entries, deepVerify)
+    if (invalid.nonEmpty)
+      throw new IllegalStateException(
+        s"version $toVersion is EXPIRED: ${invalid.size} of ${entries.size} buckets " +
+          s"reference reclaimed or altered data files (buckets " +
+          s"[${invalid.map(_.bucket).sorted.mkString(", ")}]) — takedown/compaction " +
+          "GC is unrecoverable by design; a rollback cannot resurrect deleted bytes")
+    writeManifest(out, valid.sortBy(_.bucket), io)
+    RestoreReport(toVersion, versions(outDir).last, valid.size)
+  }
+
   // ---- named refs (tags) --------------------------------------------------------
   //
   // Iceberg-style named references into the version history: a tag is an immutable
