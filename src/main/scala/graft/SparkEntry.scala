@@ -268,6 +268,47 @@ object SparkEntry {
       .orderBy(col("version"))
   }
 
+  /** GC under the DuckDB gate — the reclaim half of the rollback lifecycle: the
+    * same 2-wave commit as [[snapshotTimetravel]], a [[graft.sources.SnapshotSink.restore]]
+    * to version 1 (wave-2 buckets now unreferenced by HEAD), then
+    * [[graft.sources.SnapshotSink.vacuum]]. The oracle predicts, per bucket, the
+    * wave-2 manifest's recorded counts (metadata history survives GC), a `vacuumed`
+    * flag on exactly the wave-2-exclusive buckets, and HEAD's post-GC per-bucket
+    * read-back (wave-1 rows intact, reclaimed buckets absent) — a vacuum that
+    * reclaims a referenced bucket, misses an orphan, or corrupts HEAD
+    * hash-mismatches. The loud invariants a flat table can't carry (reclaim EXPIRES
+    * the rolled-back-from version; history numbering is untouched) are asserted
+    * in-query so a regression fails the run instead of silently passing. */
+  private def snapshotVacuum(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotSink
+    val nb = SnapshotSink.DefaultBuckets
+    val out = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-snapvacuum-query-" + dir.replaceAll("[^a-z0-9.]", "-"))
+    SnapshotSink.deleteRecursively(out)
+    SnapshotSink.run(Interleave.materializedDocsBucketed(s, dir, nb), out.toString,
+      nBuckets = nb, waveSize = nb / 2) // v1, v2
+    SnapshotSink.restore(s, out.toString, toVersion = 1L) // v3 = v1's file set
+    val removed = SnapshotSink.vacuum(s, out.toString)
+      .map(_.stripPrefix("bucket=").toLong).toSet
+    require(SnapshotSink.versions(out.toString) == Seq(1L, 2L, 3L),
+      "vacuum must reclaim data only — never rewrite manifest history")
+    val v2Expired =
+      try { SnapshotSink.readCommittedAt(s, out.toString, 2L).count(); false }
+      catch { case _: IllegalArgumentException => true }
+    require(v2Expired, "version 2 must be EXPIRED once its exclusive buckets are reclaimed")
+    // bounded driver-side state: nb rows of manifest metadata + nb head counts
+    val head = SnapshotSink.readCommitted(s, out.toString)
+      .groupBy(col("bucket").cast("int").as("bucket")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val rows = SnapshotSink.readManifestAt(s, out.toString, 2L).sortBy(_.bucket).map { e =>
+      (e.bucket.toInt, e.rows, e.n_err,
+        if (removed(e.bucket)) 1 else 0, head.getOrElse(e.bucket.toInt, 0L))
+    }
+    import s.implicits._
+    rows.toDF("bucket", "rows_", "n_err", "vacuumed", "head_rows")
+      .orderBy(col("bucket"))
+  }
+
   /** Incremental CHANGE read (the changelog consumer) under the DuckDB gate: after
     * the same 2-wave commit as [[snapshotTimetravel]],
     * [[graft.sources.SnapshotSink.readChangesBetween]] (v1 -> v2) must surface
@@ -444,6 +485,7 @@ object SparkEntry {
     "snapshot_compact_sorted" -> (snapshotCompactSorted(_, _)),
     "snapshot_timetravel" -> (snapshotTimetravel(_, _)),
     "snapshot_restore" -> (snapshotRestore(_, _)),
+    "snapshot_vacuum" -> (snapshotVacuum(_, _)),
     "snapshot_changes" -> (snapshotChanges(_, _)),
     "snapshot_takedown" -> (snapshotTakedown(_, _)),
     "snapshot_upsert" -> (snapshotUpsert(_, _)),
@@ -632,6 +674,7 @@ object SparkEntry {
     "snapshot_compact_sorted" -> OracleSql.snapshotCompact,
     "snapshot_timetravel" -> OracleSql.snapshotTimetravel,
     "snapshot_restore" -> OracleSql.snapshotRestore,
+    "snapshot_vacuum" -> OracleSql.snapshotVacuum,
     "snapshot_changes" -> OracleSql.snapshotChanges,
     "snapshot_takedown" -> OracleSql.snapshotTakedown,
     "snapshot_upsert" -> OracleSql.snapshotUpsert,

@@ -218,6 +218,24 @@ object OracleSql {
        |LEFT JOIN per_bucket b ON b.bucket < ${SnapshotBuckets / 2} * v.waves
        |GROUP BY v.version, v.waves ORDER BY version""".stripMargin
 
+  /** Mirror of SparkEntry.snapshotVacuum: after rollback to version 1, vacuum
+    * reclaims exactly the wave-2-exclusive buckets (nb/2 .. nb-1) — the wave-2
+    * manifest's per-bucket counts survive as metadata history, the reclaimed
+    * buckets read back empty from HEAD, and the retained wave-1 buckets read back
+    * in full. */
+  val snapshotVacuum: String =
+    s"""$extractionCtes,
+       |per_bucket AS (
+       |  SELECT CAST(CAST(substr(doc_id, 5) AS BIGINT) % $SnapshotBuckets AS INT) AS bucket,
+       |         CAST(count(*) AS BIGINT) AS rows_,
+       |         CAST(sum(CASE WHEN error IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_err
+       |  FROM extracted GROUP BY 1
+       |)
+       |SELECT bucket, rows_, n_err,
+       |       CAST(CASE WHEN bucket >= ${SnapshotBuckets / 2} THEN 1 ELSE 0 END AS INT) AS vacuumed,
+       |       CAST(CASE WHEN bucket < ${SnapshotBuckets / 2} THEN rows_ ELSE 0 END AS BIGINT) AS head_rows
+       |FROM per_bucket ORDER BY bucket""".stripMargin
+
   /** Mirror of SparkEntry.snapshotChanges: the incremental diff between history
     * versions 1 and 2 of a 2-wave commit is exactly the SECOND wave's buckets
     * (nBuckets/2 .. nBuckets-1, ascending wave order), each with its full per-bucket
