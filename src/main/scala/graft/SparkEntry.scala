@@ -268,6 +268,42 @@ object SparkEntry {
       .orderBy(col("version"))
   }
 
+  /** History RETENTION under the DuckDB gate: a 4-wave commit publishes versions
+    * 1..4, a tag pins version 1, then
+    * [[graft.sources.SnapshotSink.expireVersions]](keepLast = 2) must expire
+    * EXACTLY version 2 — version 1 survives because tags pin versions against
+    * retention (Iceberg ref semantics), versions 3 and 4 survive the keepLast
+    * window, and the expired version's manifest read AND data read both fail
+    * (surfaced as live=0 / zeroed counts). For every surviving version the query
+    * emits manifest totals and the version-resolved data scan's count, so a
+    * retention pass that drops the wrong version, ignores a tag, or corrupts a
+    * surviving manifest hash-mismatches against the oracle's wave arithmetic. */
+  private def snapshotExpire(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotSink
+    val nb = SnapshotSink.DefaultBuckets
+    val out = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-snapexpire-query-" + dir.replaceAll("[^a-z0-9.]", "-"))
+    SnapshotSink.deleteRecursively(out)
+    SnapshotSink.run(Interleave.materializedDocsBucketed(s, dir, nb), out.toString,
+      nBuckets = nb, waveSize = nb / 4) // versions 1..4
+    SnapshotSink.tag(out.toString, "pinned", 1L)
+    SnapshotSink.expireVersions(out.toString, keepLast = 2)
+    val tagged = SnapshotSink.tags(out.toString).values.toSet
+    val rows = (1L to 4L).map { v =>
+      val (live, nBuckets, rowsTotal) =
+        try {
+          val es = SnapshotSink.readManifestAt(s, out.toString, v)
+          (1, es.size, es.map(_.rows).sum)
+        } catch { case _: IllegalArgumentException => (0, 0, 0L) }
+      val readRows =
+        if (live == 1) SnapshotSink.readCommittedAt(s, out.toString, v).count() else 0L
+      (v.toInt, if (tagged(v)) 1 else 0, live, nBuckets, rowsTotal, readRows)
+    }
+    import s.implicits._
+    rows.toDF("version", "tagged", "live", "n_buckets", "rows_", "rows_read")
+      .orderBy(col("version"))
+  }
+
   /** GC under the DuckDB gate — the reclaim half of the rollback lifecycle: the
     * same 2-wave commit as [[snapshotTimetravel]], a [[graft.sources.SnapshotSink.restore]]
     * to version 1 (wave-2 buckets now unreferenced by HEAD), then
@@ -486,6 +522,7 @@ object SparkEntry {
     "snapshot_timetravel" -> (snapshotTimetravel(_, _)),
     "snapshot_restore" -> (snapshotRestore(_, _)),
     "snapshot_vacuum" -> (snapshotVacuum(_, _)),
+    "snapshot_expire" -> (snapshotExpire(_, _)),
     "snapshot_changes" -> (snapshotChanges(_, _)),
     "snapshot_takedown" -> (snapshotTakedown(_, _)),
     "snapshot_upsert" -> (snapshotUpsert(_, _)),
@@ -675,6 +712,7 @@ object SparkEntry {
     "snapshot_timetravel" -> OracleSql.snapshotTimetravel,
     "snapshot_restore" -> OracleSql.snapshotRestore,
     "snapshot_vacuum" -> OracleSql.snapshotVacuum,
+    "snapshot_expire" -> OracleSql.snapshotExpire,
     "snapshot_changes" -> OracleSql.snapshotChanges,
     "snapshot_takedown" -> OracleSql.snapshotTakedown,
     "snapshot_upsert" -> OracleSql.snapshotUpsert,

@@ -218,6 +218,31 @@ object OracleSql {
        |LEFT JOIN per_bucket b ON b.bucket < ${SnapshotBuckets / 2} * v.waves
        |GROUP BY v.version, v.waves ORDER BY version""".stripMargin
 
+  /** Mirror of SparkEntry.snapshotExpire: a 4-wave commit (wave = nb/4 buckets,
+    * version v covers buckets 0 .. nb/4*v-1), tag on version 1,
+    * expireVersions(keepLast = 2) — only version 2 dies: version 1 is tag-pinned,
+    * versions 3..4 are inside the retention window. Expired versions read as
+    * live=0 with zeroed counts; surviving versions' manifest totals equal their
+    * version-resolved data scans. */
+  val snapshotExpire: String =
+    s"""$extractionCtes,
+       |per_bucket AS (
+       |  SELECT CAST(CAST(substr(doc_id, 5) AS BIGINT) % $SnapshotBuckets AS INT) AS bucket,
+       |         CAST(count(*) AS BIGINT) AS rows_
+       |  FROM extracted GROUP BY 1
+       |)
+       |SELECT v.version,
+       |       CAST(CASE WHEN v.version = 1 THEN 1 ELSE 0 END AS INT) AS tagged,
+       |       CAST(CASE WHEN v.version = 2 THEN 0 ELSE 1 END AS INT) AS live,
+       |       CAST(CASE WHEN v.version = 2 THEN 0
+       |                 ELSE ${SnapshotBuckets / 4} * v.version END AS INT) AS n_buckets,
+       |       CAST(coalesce(sum(b.rows_), 0) AS BIGINT) AS rows_,
+       |       CAST(coalesce(sum(b.rows_), 0) AS BIGINT) AS rows_read
+       |FROM (VALUES (1), (2), (3), (4)) AS v(version)
+       |LEFT JOIN per_bucket b
+       |  ON v.version <> 2 AND b.bucket < ${SnapshotBuckets / 4} * v.version
+       |GROUP BY v.version ORDER BY version""".stripMargin
+
   /** Mirror of SparkEntry.snapshotVacuum: after rollback to version 1, vacuum
     * reclaims exactly the wave-2-exclusive buckets (nb/2 .. nb-1) — the wave-2
     * manifest's per-bucket counts survive as metadata history, the reclaimed
