@@ -407,14 +407,10 @@ object SparkEntry {
     * the oracle verifies the merged bytes: replace-not-append (victims' media
     * spans must be gone), bystander preservation, insert placement, and
     * `rewritten` = 1 exactly on buckets that received an update. */
-  private def snapshotUpsert(s: SparkSession, dir: String): DataFrame = {
-    import graft.sources.SnapshotSink
-    val nb = SnapshotSink.DefaultBuckets
-    val out = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft-snapupsert-query-" + dir.replaceAll("[^a-z0-9.]", "-"))
-    SnapshotSink.deleteRecursively(out)
-    SnapshotSink.run(Interleave.materializedDocsBucketed(s, dir, nb), out.toString,
-      nBuckets = nb, waveSize = nb)
+  /** The MERGE update set both [[snapshotUpsert]] and [[snapshotBranch]] commit:
+    * victims' revised extraction ('v2:'-prefixed text spans only — re-crawl
+    * semantics) plus [[OracleSql.UpsertNewDocs]] brand-new documents. */
+  private def upsertUpdateSet(s: SparkSession, dir: String): DataFrame = {
     val numId = substring(col("doc_id"), 5, Interleave.DocIdDigits).cast("long")
     // re-crawl extraction: victims filtered BEFORE the OCR island (only the changed
     // documents pay extraction — the incremental-ingest cost shape), new doc shape
@@ -435,11 +431,15 @@ object SparkEntry {
     import s.implicits._
     val ins = insRows.toDF("doc_id", "lang", "n_doc_spans", "offset", "kind",
       "text", "media_ref", "ok", "error", "n_words", "conf_sum")
-    val report = SnapshotSink.upsertDocs(s, out.toString,
-      updVict.unionByName(ins), nb)
-    val rw = report.rewrittenBuckets.map(java.lang.Long.valueOf)
-    SnapshotSink.readCommitted(s, out.toString)
-      .groupBy(col("bucket").cast("int").as("bucket"))
+    updVict.unionByName(ins)
+  }
+
+  /** Per-bucket (counts + content digest over (doc_id, offset, text)) read-back
+    * aggregation shared by the merge-family gates — the digest puts the committed
+    * BYTES under the oracle, not just counts. */
+  private def contentAgg(df: DataFrame,
+      bucketCol: org.apache.spark.sql.Column): DataFrame =
+    df.groupBy(bucketCol.as("bucket"))
       .agg(count(lit(1)).as("rows_"),
         sum(when(col("kind") === "text", 1L).otherwise(0L)).as("n_text"),
         sum(when(col("kind") === "image", 1L).otherwise(0L)).as("n_media"),
@@ -449,9 +449,65 @@ object SparkEntry {
             coalesce(col("text"), lit("")).as("t")))),
           x => concat_ws(":", x.getField("doc_id"), x.getField("offset"),
             x.getField("t"))), "|")).as("content_md5"))
+
+  private def snapshotUpsert(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotSink
+    val nb = SnapshotSink.DefaultBuckets
+    val out = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-snapupsert-query-" + dir.replaceAll("[^a-z0-9.]", "-"))
+    SnapshotSink.deleteRecursively(out)
+    SnapshotSink.run(Interleave.materializedDocsBucketed(s, dir, nb), out.toString,
+      nBuckets = nb, waveSize = nb)
+    val report = SnapshotSink.upsertDocs(s, out.toString,
+      upsertUpdateSet(s, dir), nb)
+    val rw = report.rewrittenBuckets.map(java.lang.Long.valueOf)
+    contentAgg(SnapshotSink.readCommitted(s, out.toString),
+        col("bucket").cast("int"))
       .withColumn("rewritten",
         when(col("bucket").cast("long").isInCollection(rw), 1).otherwise(0))
       .orderBy(col("bucket"))
+  }
+
+  /** Writable-branch WAP cycle under the DuckDB gate: full commit (v1), branch
+    * "audit" at v1, the SAME merge as [[snapshotUpsert]] staged onto the branch
+    * ([[graft.sources.SnapshotSink.upsertDocsToBranch]] — rewrites land at a fresh
+    * generation, main untouched), then [[graft.sources.SnapshotSink.fastForward]].
+    * Phase 0 reads HEAD BETWEEN the branch merge and the fast-forward: it must
+    * digest-equal the ORIGINAL extraction (write isolation — a branch merge that
+    * leaks into main flips phase-0 hashes). Phase 1 reads HEAD after the
+    * fast-forward: it must digest-equal the merged table with `rewritten` = 1
+    * exactly on touched base buckets (grouped by base id — the branch generation's
+    * composite ids collapse under pmod). In-query louds pin what the flat table
+    * can't: the branch pointer advanced and every rewrite landed off-generation. */
+  private def snapshotBranch(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotSink
+    val nb = SnapshotSink.DefaultBuckets
+    val out = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-snapbranch-query-" + dir.replaceAll("[^a-z0-9.]", "-"))
+    SnapshotSink.deleteRecursively(out)
+    SnapshotSink.run(Interleave.materializedDocsBucketed(s, dir, nb), out.toString,
+      nBuckets = nb, waveSize = nb) // v1
+    SnapshotSink.branch(out.toString, "audit", 1L)
+    val report = SnapshotSink.upsertDocsToBranch(s, out.toString, "audit",
+      upsertUpdateSet(s, dir), nb)
+    require(SnapshotSink.branches(out.toString)("audit") > 1L,
+      "branch pointer must advance past the base version after a branch merge")
+    require(report.rewrittenBuckets.forall(_ >= nb),
+      "branch rewrites must land at a fresh generation, never at the base ids")
+    val phase0 = contentAgg(SnapshotSink.readCommitted(s, out.toString),
+        col("bucket").cast("int"))
+      .withColumn("phase", lit(0)).withColumn("rewritten", lit(0))
+    val rwBases = report.rewrittenBuckets.map(b => java.lang.Long.valueOf(b % nb))
+    SnapshotSink.fastForward(s, out.toString, "audit")
+    val phase1 = contentAgg(SnapshotSink.readCommitted(s, out.toString),
+        pmod(col("bucket").cast("long"), lit(nb.toLong)).cast("int"))
+      .withColumn("phase", lit(1))
+      .withColumn("rewritten",
+        when(col("bucket").cast("long").isInCollection(rwBases), 1).otherwise(0))
+    phase0.unionByName(phase1)
+      .select(col("phase"), col("bucket"), col("rows_"), col("n_text"),
+        col("n_media"), col("n_err"), col("content_md5"), col("rewritten"))
+      .orderBy(col("phase"), col("bucket"))
   }
 
   /** Streamed ingest -> COMPACTION -> canonical generation, under the DuckDB gate:
@@ -526,6 +582,7 @@ object SparkEntry {
     "snapshot_changes" -> (snapshotChanges(_, _)),
     "snapshot_takedown" -> (snapshotTakedown(_, _)),
     "snapshot_upsert" -> (snapshotUpsert(_, _)),
+    "snapshot_branch" -> (snapshotBranch(_, _)),
     "hocr_words" -> ((s, dir) => {
       import graft.functions.HocrAlto
       ExtractPipeline.extractFlat(Interleave.docs(s, dir))
@@ -716,6 +773,7 @@ object SparkEntry {
     "snapshot_changes" -> OracleSql.snapshotChanges,
     "snapshot_takedown" -> OracleSql.snapshotTakedown,
     "snapshot_upsert" -> OracleSql.snapshotUpsert,
+    "snapshot_branch" -> OracleSql.snapshotBranch,
     "hocr_words" -> OracleSql.hocrWords,
     "alto_words" -> OracleSql.altoWords,
     "pdf_words" -> OracleSql.pdfWords,

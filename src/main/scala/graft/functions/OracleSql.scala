@@ -332,9 +332,11 @@ object OracleSql {
     * and `rewritten` = 1 precisely on buckets containing a victim or an insert.
     * content_md5 digests (doc_id:offset:text) in (doc_id, offset) order per bucket,
     * putting the merged BYTES (not just counts) under the gate. */
-  val snapshotUpsert: String =
-    s"""$extractionCtes,
-       |mx AS (SELECT max(doc_id) AS m FROM documents),
+  /** The merge result + touched-bucket CTEs shared by `snapshotUpsert` and
+    * `snapshotBranch` (both commit the same update set — one in place, one staged
+    * on a branch and fast-forwarded). */
+  private val upsertMergeCtes: String =
+    s"""mx AS (SELECT max(doc_id) AS m FROM documents),
        |merged AS (
        |  SELECT doc_id, "offset", kind, text, error
        |  FROM extracted
@@ -358,21 +360,56 @@ object OracleSql {
        |  UNION
        |  SELECT DISTINCT CAST((mx.m + i.i) % $SnapshotBuckets AS INT)
        |  FROM mx, UNNEST(generate_series(1, $UpsertNewDocs)) AS i(i)
-       |),
-       |agg AS (
-       |  SELECT CAST(CAST(substr(doc_id, 5) AS BIGINT) % $SnapshotBuckets AS INT) AS bucket,
+       |)""".stripMargin
+
+  /** Per-base-bucket counts + content digest over `src` (which must expose
+    * doc_id / "offset" / kind / text / error) — the SQL mirror of
+    * SparkEntry.contentAgg. */
+  private def bucketContentAgg(src: String): String =
+    s"""SELECT CAST(CAST(substr(doc_id, 5) AS BIGINT) % $SnapshotBuckets AS INT) AS bucket,
        |         CAST(count(*) AS BIGINT) AS rows_,
        |         CAST(sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) AS BIGINT) AS n_text,
        |         CAST(sum(CASE WHEN kind = 'image' THEN 1 ELSE 0 END) AS BIGINT) AS n_media,
        |         CAST(sum(CASE WHEN error IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_err,
        |         md5(string_agg(doc_id || ':' || CAST("offset" AS VARCHAR) || ':' || coalesce(text, ''),
        |             '|' ORDER BY doc_id, "offset")) AS content_md5
-       |  FROM merged GROUP BY 1
+       |  FROM $src GROUP BY 1""".stripMargin
+
+  val snapshotUpsert: String =
+    s"""$extractionCtes,
+       |$upsertMergeCtes,
+       |agg AS (
+       |  ${bucketContentAgg("merged")}
        |)
        |SELECT a.bucket, a.rows_, a.n_text, a.n_media, a.n_err, a.content_md5,
        |       CAST(CASE WHEN a.bucket IN (SELECT bucket FROM touched)
        |            THEN 1 ELSE 0 END AS INT) AS rewritten
        |FROM agg a ORDER BY bucket""".stripMargin
+
+  /** Mirror of SparkEntry.snapshotBranch (the WAP cycle): phase 0 = HEAD between
+    * the branch merge and the fast-forward, which must still digest-equal the
+    * ORIGINAL extraction (write isolation); phase 1 = HEAD after the fast-forward,
+    * which must digest-equal the merged table with `rewritten` on exactly the
+    * touched base buckets — the same merged/touched arithmetic as snapshotUpsert. */
+  val snapshotBranch: String =
+    s"""$extractionCtes,
+       |$upsertMergeCtes,
+       |agg0 AS (
+       |  ${bucketContentAgg("extracted")}
+       |),
+       |agg1 AS (
+       |  ${bucketContentAgg("merged")}
+       |)
+       |SELECT CAST(0 AS INT) AS phase, a.bucket, a.rows_, a.n_text, a.n_media,
+       |       a.n_err, a.content_md5, CAST(0 AS INT) AS rewritten
+       |FROM agg0 a
+       |UNION ALL
+       |SELECT CAST(1 AS INT) AS phase, a.bucket, a.rows_, a.n_text, a.n_media,
+       |       a.n_err, a.content_md5,
+       |       CAST(CASE WHEN a.bucket IN (SELECT bucket FROM touched)
+       |            THEN 1 ELSE 0 END AS INT) AS rewritten
+       |FROM agg1 a
+       |ORDER BY phase, bucket""".stripMargin
 
   /** Number of synthetic stream micro-batches `SparkEntry.snapshotCompact` commits
     * before compacting. The compacted generation index equals this count (batch ids

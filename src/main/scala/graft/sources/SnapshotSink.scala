@@ -465,7 +465,9 @@ object SnapshotSink {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast — version " +
       "numbers are never reused, so the newest history file must survive")
     val out = Paths.get(outDir)
-    val pinned = tags(outDir).values.toSet
+    // tags AND branches pin their versions: expiring a live branch's manifest
+    // would orphan every commit staged on it
+    val pinned = tags(outDir).values.toSet ++ branches(outDir).values.toSet
     val drop = versions(outDir).dropRight(keepLast).filterNot(pinned)
     drop.foreach(v => Files.deleteIfExists(versionPath(out, v)))
     drop
@@ -580,6 +582,86 @@ object SnapshotSink {
     val tmp = Files.createTempFile(out, ".refs", ".tmp")
     Files.writeString(tmp, body)
     io.publishFile(tmp, out.resolve("refs.json"))
+  }
+
+  // ---- named refs (branches) ----------------------------------------------------
+  //
+  // Iceberg-style WRITABLE refs: a branch is a name -> version pointer that
+  // ADVANCES when the branch is committed to ([[upsertDocsToBranch]]) — the
+  // write-audit-publish (WAP) shape: stage a merge on an isolated branch, audit it
+  // with the same manifest-resolved reads and two-tier verification as main, then
+  // [[fastForward]] main onto it (a metadata-only republish, the [[restore]]
+  // machinery). Branch commits share main's one linear version history (every
+  // branch commit publishes a normal immutable `manifest-v%06d.json`); isolation
+  // comes from the DATA layout — a branch rewrite lands its buckets at a fresh
+  // GENERATION (`gen * nBuckets + base`, the compaction/stream id space, reserved
+  // through the same sidecar ledger so streams and compactions can never collide
+  // with it) and main's files are never touched. Branches live in `branches.json`
+  // (same JSON-lines shape and CommitIo swap as tags — kept separate so a tag
+  // rewrite can never drop branch pointers). Like tags, a branch pins its version
+  // against [[expireVersions]]; unlike tags, a branch's referenced buckets also
+  // pin their BYTES against [[vacuum]] (a branch is a live line of development —
+  // reclaiming under it would destroy uncommitted-to-main work).
+
+  /** Current branches, name -> version (empty if none). */
+  def branches(outDir: String): Map[String, Long] = {
+    val p = Paths.get(outDir).resolve("branches.json")
+    if (!Files.exists(p)) return Map.empty
+    val Line = """\{"name":"([^"]+)","version":(\d+)\}""".r
+    Files.readAllLines(p).asScala.flatMap {
+      case Line(n, v) => Some(n -> v.toLong)
+      case _ => None
+    }.toMap
+  }
+
+  /** Create (or move) the named branch at history version `v` — like [[tag]], a
+    * branch can never be born dangling. */
+  def branch(outDir: String, name: String, v: Long,
+      io: CommitIo = PosixCommitIo): Unit = {
+    require(TagNameRe.matches(name),
+      s"branch name '$name' must match ${TagNameRe.regex}")
+    require(versions(outDir).contains(v),
+      s"cannot branch at version $v — not in history [${versions(outDir).mkString(", ")}]")
+    writeBranches(Paths.get(outDir), branches(outDir) + (name -> v), io)
+  }
+
+  /** Remove the named branch (idempotent), releasing its expiration AND vacuum
+    * pins — the branch's exclusive generations become reclaimable orphans. */
+  def dropBranch(outDir: String, name: String, io: CommitIo = PosixCommitIo): Unit = {
+    val b = branches(outDir)
+    if (b.contains(name)) writeBranches(Paths.get(outDir), b - name, io)
+  }
+
+  private def resolveBranch(outDir: String, name: String): Long =
+    branches(outDir).getOrElse(name,
+      throw new IllegalArgumentException(
+        s"no branch '$name' under $outDir — available: " +
+          s"[${branches(outDir).keys.toSeq.sorted.mkString(", ")}]"))
+
+  /** [[readCommittedAt]] resolved through a named branch. */
+  def readCommittedAtBranch(spark: SparkSession, outDir: String, name: String): DataFrame =
+    readCommittedAt(spark, outDir, resolveBranch(outDir, name))
+
+  /** [[lineageAt]] resolved through a named branch. */
+  def lineageAtBranch(spark: SparkSession, outDir: String, name: String): DataFrame =
+    lineageAt(spark, outDir, resolveBranch(outDir, name))
+
+  /** FAST-FORWARD main onto the named branch: republish the branch's manifest as a
+    * NEW HEAD version (the [[restore]] machinery — metadata-only, loud when any
+    * referenced byte was reclaimed, optional distributed deep-hash). The branch
+    * pointer stays where it is (Iceberg fast-forward semantics); drop it with
+    * [[dropBranch]] once merged, releasing its vacuum pin. */
+  def fastForward(spark: SparkSession, outDir: String, name: String,
+      deepVerify: Boolean = false, io: CommitIo = PosixCommitIo): RestoreReport =
+    restore(spark, outDir, resolveBranch(outDir, name), deepVerify, io)
+
+  private def writeBranches(out: Path, b: Map[String, Long], io: CommitIo): Unit = {
+    val body = b.toSeq.sortBy(_._1)
+      .map { case (n, v) => s"""{"name":"$n","version":$v}""" }
+      .mkString("", "\n", "\n")
+    val tmp = Files.createTempFile(out, ".branches", ".tmp")
+    Files.writeString(tmp, body)
+    io.publishFile(tmp, out.resolve("branches.json"))
   }
 
   /** Buckets whose committed state DIFFERS between history versions `fromV` and
@@ -754,15 +836,58 @@ object SnapshotSink {
       nBuckets: Int = DefaultBuckets,
       waveSize: Int = 4,
       crashAfterWaves: Int = Int.MaxValue,
-      io: CommitIo = PosixCommitIo): UpsertReport = {
+      io: CommitIo = PosixCommitIo): UpsertReport =
+    mergeDocs(spark, outDir, updates, nBuckets, waveSize, crashAfterWaves, io,
+      toBranch = None)
+
+  /** [[upsertDocs]] committed to a BRANCH instead of main — the write-audit-publish
+    * staging op. Same MERGE semantics and crash-heal idempotency, but main is
+    * bit-for-bit untouched: the base manifest is the branch head's, every rewritten
+    * bucket lands at a FRESH generation (`gen * nBuckets + base` — the
+    * compaction/stream composite-id space, reserved through the same sidecar ledger
+    * so a concurrent stream batch or compaction can never allocate into it), the
+    * wave publishes history versions WITHOUT the HEAD swap, and the branch pointer
+    * advances only after the last wave (a crashed merge leaves the pointer — and
+    * main — where they were; re-running heals at a new generation, and the
+    * abandoned partial generation is an unreferenced orphan for [[vacuum]]).
+    * Audit the staged result with [[readCommittedAtBranch]] / [[verifySnapshot]],
+    * then publish with [[fastForward]]. */
+  def upsertDocsToBranch(
+      spark: SparkSession,
+      outDir: String,
+      name: String,
+      updates: DataFrame,
+      nBuckets: Int = DefaultBuckets,
+      waveSize: Int = 4,
+      crashAfterWaves: Int = Int.MaxValue,
+      io: CommitIo = PosixCommitIo): UpsertReport =
+    mergeDocs(spark, outDir, updates, nBuckets, waveSize, crashAfterWaves, io,
+      toBranch = Some(name))
+
+  private def mergeDocs(
+      spark: SparkSession,
+      outDir: String,
+      updates: DataFrame,
+      nBuckets: Int,
+      waveSize: Int,
+      crashAfterWaves: Int,
+      io: CommitIo,
+      toBranch: Option[String]): UpsertReport = {
     val out = Paths.get(outDir)
-    val existing = readManifest(spark, outDir)
+    val baseVersion = toBranch.map(resolveBranch(outDir, _))
+    val existing = baseVersion match {
+      case Some(v) => readManifestAt(spark, outDir, v)
+      case None => readManifest(spark, outDir)
+    }
     require(existing.nonEmpty, s"no committed snapshot under $outDir")
     require(existing.map(_.bucket % nBuckets).distinct.size == existing.size,
       "manifest is not canonical (multiple generations per base bucket — an " +
         "un-compacted stream): run compact() first, a document's rows may " +
         "straddle generations")
-    val committedCols = readCommitted(spark, outDir).drop("bucket").columns
+    val committedCols = baseVersion
+      .map(readCommittedAt(spark, outDir, _))
+      .getOrElse(readCommitted(spark, outDir))
+      .drop("bucket").columns
     require(updates.columns.sorted.sameElements(committedCols.sorted),
       s"updates schema ${updates.columns.sorted.mkString("(", ",", ")")} must match " +
         s"the committed table ${committedCols.sorted.mkString("(", ",", ")")}")
@@ -783,6 +908,22 @@ object SnapshotSink {
       s"update routes to base bucket $b but the manifest has no entry for it — " +
         s"wrong nBuckets for this snapshot?"))
 
+    // BRANCH mode: reserve one fresh generation for every bucket this merge
+    // rewrites — through the stream sidecar's ledger (negative key: real batchIds
+    // are >= 0) so a concurrent [[commitStreamBatch]] allocation or [[compact]]
+    // sees the reservation and allocates above it. Main's dirs are never touched.
+    val gen: Long = toBranch match {
+      case None => -1L
+      case Some(_) if affectedBases.isEmpty => -1L
+      case Some(_) =>
+        val recorded = readBatchBases(out)
+        val g = (existing.map(_.bucket / nBuckets) ++
+          readManifest(spark, outDir).map(_.bucket / nBuckets) ++
+          recorded.values.map(_ / nBuckets)).foldLeft(0L)(math.max) + 1
+        recordBatchBases(out, io, recorded + (-g -> g * nBuckets))
+        g
+    }
+
     var manifest = existing.sortBy(_.bucket)
     var matchedDocs = 0L
     var insertedDocs = 0L
@@ -791,7 +932,9 @@ object SnapshotSink {
     val rewritten = Seq.newBuilder[Long]
     affectedBases.grouped(waveSize).zipWithIndex.foreach { case (wave, wi) =>
       val t0 = System.nanoTime()
-      val targetIds = wave.map(idOfBase)
+      val oldIds = wave.map(idOfBase)
+      val targetIds =
+        if (gen >= 0) wave.map(gen * nBuckets + _) else oldIds
       val idCol =
         if (targetIds == wave) baseCol
         else wave.zip(targetIds).foldLeft(lit(-1L)) { case (acc, (b, id)) =>
@@ -799,7 +942,7 @@ object SnapshotSink {
         }
       val updW = updates.filter(baseCol.isin(wave.map(_.toInt): _*))
       val updIds = updW.select(col("doc_id")).distinct()
-      val entries = targetIds.map(id => manifest.find(_.bucket == id).get)
+      val entries = oldIds.map(id => manifest.find(_.bucket == id).get)
       val files = entries.flatMap(e =>
         e.files.map(f => bucketDir(out, e.bucket).resolve(f).toString))
       val cur =
@@ -819,20 +962,41 @@ object SnapshotSink {
       insertedDocs += updStat.getLong(1) - curHit.getLong(1)
       upsertRows += updStat.getLong(0)
 
-      val kept = cur.join(updIds, Seq("doc_id"), "left_anti")
-      val merged = kept.unionByName(updW.withColumn("bucket", idCol))
+      val targetOf = oldIds.zip(targetIds).toMap
+      // branch mode re-keys the surviving rows to the fresh generation (a
+      // bounded when-chain over the wave's <= waveSize ids; null-id bystanders
+      // keep their non-null bucket column, so none are dropped)
+      val keptRekeyed =
+        if (gen < 0) cur.join(updIds, Seq("doc_id"), "left_anti")
+        else {
+          val remap = oldIds.zip(targetIds).foldLeft(lit(-1L)) {
+            case (acc, (o, t)) =>
+              when(col("bucket").cast("long") === o, lit(t)).otherwise(acc)
+          }
+          cur.join(updIds, Seq("doc_id"), "left_anti")
+            .withColumn("bucket", remap)
+        }
+      val merged = keptRekeyed.unionByName(updW.withColumn("bucket", idCol))
       // prior-rows>0 buckets must not stage empty (same silent-loss refusal as
       // resume); every affected bucket receives >= 1 update row anyway
-      val expectNonEmpty = entries.filter(_.rows > 0).map(_.bucket).toSet
+      val expectNonEmpty = entries.filter(_.rows > 0).map(e => targetOf(e.bucket)).toSet
       val (m2, _) = commitWaveFlat(spark, out, merged, targetIds,
-        manifest.filterNot(e => targetIds.contains(e.bucket)), t0,
+        manifest.filterNot(e => oldIds.contains(e.bucket)), t0,
         expectNonEmpty = expectNonEmpty, io = io,
-        layoutCols = rewriteLayout(merged), spanMetrics = hasSpanMetrics(merged))
+        layoutCols = rewriteLayout(merged), spanMetrics = hasSpanMetrics(merged),
+        headSwap = toBranch.isEmpty)
       manifest = m2
       rewritten ++= targetIds
       if (wi + 1 >= crashAfterWaves) throw new InjectedCrash(wi)
     }
     deleteRecursively(out.resolve("staging"))
+    // the branch pointer advances ONLY once every wave committed — a crashed
+    // branch merge leaves the pointer (and main) untouched; re-running heals.
+    // An empty update set committed nothing: the pointer must not move (the
+    // current history tail may be someone else's version entirely).
+    if (affectedBases.nonEmpty) toBranch.foreach { name =>
+      writeBranches(out, branches(outDir) + (name -> versions(outDir).last), io)
+    }
     UpsertReport(matchedDocs, insertedDocs, replacedRows, upsertRows,
       rewritten.result())
   }
@@ -1051,7 +1215,14 @@ object SnapshotSink {
     * the removed directory names. */
   def vacuum(spark: SparkSession, outDir: String): Seq[String] = {
     val out = Paths.get(outDir)
-    val referenced = readManifest(spark, outDir).map(_.bucket).toSet
+    // referenced = HEAD plus every live BRANCH head: a branch is a writable line
+    // of development, so its exclusive generations are live bytes, not orphans
+    // (tags deliberately do NOT pin bytes — they pin metadata against expiration
+    // only, and a tag over reclaimed data fails loudly at read, by contract)
+    val referenced = (readManifest(spark, outDir) ++
+      branches(outDir).values.toSeq.distinct
+        .flatMap(v => readManifestAt(spark, outDir, v)))
+      .map(_.bucket).toSet
     val orphans = listPartitionDirs(out.resolve("data")).filter { p =>
       p.getFileName.toString.stripPrefix("bucket=").toLongOption
         .forall(!referenced(_))
@@ -1111,7 +1282,8 @@ object SnapshotSink {
       io: CommitIo = PosixCommitIo,
       layoutCols: Seq[String] = Seq("bucket", "doc_id", "offset"),
       layoutExprs: Option[Seq[Column]] = None,
-      spanMetrics: Boolean = true): (Seq[ManifestEntry], Long) = {
+      spanMetrics: Boolean = true,
+      headSwap: Boolean = true): (Seq[ManifestEntry], Long) = {
     val dataDir = out.resolve("data")
     val staging = out.resolve("staging")
     deleteRecursively(staging)
@@ -1233,7 +1405,7 @@ object SnapshotSink {
         wall_ms = wallMs)).sortBy(_.bucket)
       waveRows += m.rows
     }
-    writeManifest(out, manifest, io)
+    writeManifest(out, manifest, io, headSwap)
     (manifest, waveRows)
   }
 
@@ -1372,15 +1544,19 @@ object SnapshotSink {
     * unreferenced history file (harmless; the next publish just takes the next
     * number), never a HEAD whose version is missing from history. */
   private def writeManifest(out: Path, entries: Seq[ManifestEntry],
-      io: CommitIo = PosixCommitIo): Unit = {
+      io: CommitIo = PosixCommitIo, headSwap: Boolean = true): Long = {
     val body = entries.map(jsonOf).mkString("", "\n", "\n")
     val v = versions(out.toString).lastOption.getOrElse(0L) + 1
     val tmpV = Files.createTempFile(out, ".manifest", ".tmp")
     Files.writeString(tmpV, body)
     io.publishFile(tmpV, versionPath(out, v))
-    val tmp = Files.createTempFile(out, ".manifest", ".tmp")
-    Files.writeString(tmp, body)
-    io.publishFile(tmp, out.resolve("manifest.json"))
+    // a BRANCH commit publishes history only — HEAD (main) must not move
+    if (headSwap) {
+      val tmp = Files.createTempFile(out, ".manifest", ".tmp")
+      Files.writeString(tmp, body)
+      io.publishFile(tmp, out.resolve("manifest.json"))
+    }
+    v
   }
 
   private def jsonOf(e: ManifestEntry): String = {
