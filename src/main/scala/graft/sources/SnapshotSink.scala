@@ -604,32 +604,56 @@ object SnapshotSink {
   // reclaiming under it would destroy uncommitted-to-main work).
 
   /** Current branches, name -> version (empty if none). */
-  def branches(outDir: String): Map[String, Long] = {
+  def branches(outDir: String): Map[String, Long] =
+    branchRefs(outDir).view.mapValues(_._1).toMap
+
+  /** Branch refs with their recorded fork point: name -> (head version, the MAIN
+    * HEAD version when the branch was created). The base is what makes
+    * [[fastForward]] safe: publishing a branch whose base is behind main's current
+    * HEAD would silently discard everything main committed since the fork. */
+  private def branchRefs(outDir: String): Map[String, (Long, Long)] = {
     val p = Paths.get(outDir).resolve("branches.json")
     if (!Files.exists(p)) return Map.empty
-    val Line = """\{"name":"([^"]+)","version":(\d+)\}""".r
+    val Line = """\{"name":"([^"]+)","version":(\d+),"base":(\d+)\}""".r
     Files.readAllLines(p).asScala.flatMap {
-      case Line(n, v) => Some(n -> v.toLong)
+      case Line(n, v, b) => Some(n -> (v.toLong, b.toLong))
       case _ => None
     }.toMap
   }
 
   /** Create (or move) the named branch at history version `v` — like [[tag]], a
-    * branch can never be born dangling. */
+    * branch can never be born dangling. Records main's CURRENT head version as the
+    * branch's fork base ([[fastForward]] refuses to publish over a main that
+    * advanced past it). */
   def branch(outDir: String, name: String, v: Long,
       io: CommitIo = PosixCommitIo): Unit = {
     require(TagNameRe.matches(name),
       s"branch name '$name' must match ${TagNameRe.regex}")
     require(versions(outDir).contains(v),
       s"cannot branch at version $v — not in history [${versions(outDir).mkString(", ")}]")
-    writeBranches(Paths.get(outDir), branches(outDir) + (name -> v), io)
+    val base = headVersion(outDir)
+    writeBranches(Paths.get(outDir),
+      branchRefs(outDir) + (name -> (v, base)), io)
   }
 
   /** Remove the named branch (idempotent), releasing its expiration AND vacuum
     * pins — the branch's exclusive generations become reclaimable orphans. */
   def dropBranch(outDir: String, name: String, io: CommitIo = PosixCommitIo): Unit = {
-    val b = branches(outDir)
+    val b = branchRefs(outDir)
     if (b.contains(name)) writeBranches(Paths.get(outDir), b - name, io)
+  }
+
+  /** The version HEAD (manifest.json) currently points at — normally the newest
+    * history entry, but BRANCH commits publish history without moving HEAD, so
+    * this resolves by content identity against the immutable version files. */
+  private def headVersion(outDir: String): Long = {
+    val out = Paths.get(outDir)
+    val head = out.resolve("manifest.json")
+    if (!Files.exists(head)) return 0L
+    val body = Files.readString(head)
+    versions(outDir).reverse
+      .find(v => Files.readString(versionPath(out, v)) == body)
+      .getOrElse(0L)
   }
 
   private def resolveBranch(outDir: String, name: String): Long =
@@ -648,16 +672,41 @@ object SnapshotSink {
 
   /** FAST-FORWARD main onto the named branch: republish the branch's manifest as a
     * NEW HEAD version (the [[restore]] machinery — metadata-only, loud when any
-    * referenced byte was reclaimed, optional distributed deep-hash). The branch
-    * pointer stays where it is (Iceberg fast-forward semantics); drop it with
-    * [[dropBranch]] once merged, releasing its vacuum pin. */
+    * referenced byte was reclaimed, optional distributed deep-hash).
+    *
+    * Refuses ([[IllegalStateException]]) when main's HEAD advanced past the
+    * branch's recorded fork base — publishing then would silently DISCARD every
+    * commit main took since the fork (the classic write-audit-publish lost-update
+    * pitfall; git's own fast-forward refuses identically). Recover by re-branching
+    * from the current HEAD and re-applying the merge, or by an explicit [[restore]]
+    * if overwriting main is truly intended. After a successful publish the
+    * branch's base advances to the new HEAD version, so further branch commits can
+    * fast-forward again; the pointer itself stays (Iceberg fast-forward semantics)
+    * — drop it with [[dropBranch]] once merged, releasing its vacuum pin. */
   def fastForward(spark: SparkSession, outDir: String, name: String,
-      deepVerify: Boolean = false, io: CommitIo = PosixCommitIo): RestoreReport =
-    restore(spark, outDir, resolveBranch(outDir, name), deepVerify, io)
+      deepVerify: Boolean = false, io: CommitIo = PosixCommitIo): RestoreReport = {
+    val refs = branchRefs(outDir)
+    val (bv, base) = refs.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"no branch '$name' under $outDir — available: " +
+          s"[${refs.keys.toSeq.sorted.mkString(", ")}]"))
+    val head = headVersion(outDir)
+    if (head != base)
+      throw new IllegalStateException(
+        s"not a fast-forward: main HEAD is at version $head but branch '$name' " +
+          s"forked at version $base — publishing would discard main's commits " +
+          s"since the fork; re-branch from the current HEAD and re-apply, or use " +
+          "restore() to overwrite explicitly")
+    val report = restore(spark, outDir, bv, deepVerify, io)
+    writeBranches(Paths.get(outDir),
+      refs + (name -> (bv, report.newVersion)), io)
+    report
+  }
 
-  private def writeBranches(out: Path, b: Map[String, Long], io: CommitIo): Unit = {
+  private def writeBranches(out: Path, b: Map[String, (Long, Long)],
+      io: CommitIo): Unit = {
     val body = b.toSeq.sortBy(_._1)
-      .map { case (n, v) => s"""{"name":"$n","version":$v}""" }
+      .map { case (n, (v, base)) => s"""{"name":"$n","version":$v,"base":$base}""" }
       .mkString("", "\n", "\n")
     val tmp = Files.createTempFile(out, ".branches", ".tmp")
     Files.writeString(tmp, body)
@@ -995,7 +1044,9 @@ object SnapshotSink {
     // An empty update set committed nothing: the pointer must not move (the
     // current history tail may be someone else's version entirely).
     if (affectedBases.nonEmpty) toBranch.foreach { name =>
-      writeBranches(out, branches(outDir) + (name -> versions(outDir).last), io)
+      val refs = branchRefs(outDir)
+      val base = refs(name)._2
+      writeBranches(out, refs + (name -> (versions(outDir).last, base)), io)
     }
     UpsertReport(matchedDocs, insertedDocs, replacedRows, upsertRows,
       rewritten.result())

@@ -186,6 +186,42 @@ class SnapshotBranchSpec extends AnyFunSuite {
     assert(SnapshotSink.readCommitted(spark, out).count() > 0L)
   }
 
+  test("fast-forward refuses when main advanced past the fork (lost-update guard)") {
+    val out = tmpDir("ffguard")
+    SnapshotSink.run(docs, out, nBuckets = NB, waveSize = NB) // v1
+    SnapshotSink.branch(out, "stale", 1L)
+    val brVictim = docIdsInBucket(out, 2L, 1)
+    SnapshotSink.upsertDocsToBranch(spark, out, "stale", updateRows(brVictim), NB)
+
+    // main takes its own commit after the fork — publishing "stale" now would
+    // silently discard it
+    val mainVictim = docIdsInBucket(out, 5L, 1)
+    SnapshotSink.upsertDocs(spark, out, updateRows(mainVictim), NB)
+    val mainContent = contentOf(SnapshotSink.readCommitted(spark, out))
+    val ex = intercept[IllegalStateException] {
+      SnapshotSink.fastForward(spark, out, "stale")
+    }
+    assert(ex.getMessage.contains("not a fast-forward"))
+    assert(contentOf(SnapshotSink.readCommitted(spark, out)) === mainContent)
+
+    // recovery: re-branch from the CURRENT head and re-apply, then publish
+    val head = SnapshotSink.versions(out).last
+    SnapshotSink.branch(out, "rebased", head)
+    SnapshotSink.upsertDocsToBranch(spark, out, "rebased", updateRows(brVictim), NB)
+    SnapshotSink.fastForward(spark, out, "rebased")
+    val merged = SnapshotSink.readCommitted(spark, out)
+    (brVictim ++ mainVictim).foreach { id =>
+      assert(merged.filter(col("doc_id") === id).select(col("text"))
+        .head.getString(0) === s"upd:$id")
+    }
+
+    // the publish advanced the branch's base: a further branch commit
+    // fast-forwards again without re-branching
+    SnapshotSink.upsertDocsToBranch(spark, out, "rebased",
+      updateRows(docIdsInBucket(out, 6L, 1)), NB)
+    SnapshotSink.fastForward(spark, out, "rebased")
+  }
+
   test("successive branch merges allocate strictly increasing generations") {
     val out = tmpDir("gens")
     SnapshotSink.run(docs, out, nBuckets = NB, waveSize = NB) // v1
