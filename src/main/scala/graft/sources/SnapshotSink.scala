@@ -1073,10 +1073,16 @@ object SnapshotSink {
   def commitStreamBatch(
       flat: DataFrame, outDir: String, batchId: Long,
       nBuckets: Int = DefaultBuckets, deepVerify: Boolean = true,
-      io: CommitIo = PosixCommitIo): Seq[Long] = {
+      io: CommitIo = PosixCommitIo, toBranch: Option[String] = None): Seq[Long] = {
     val spark = flat.sparkSession
     val out = Paths.get(outDir)
     Files.createDirectories(out.resolve("data"))
+    // BRANCH mode (streaming write-audit-publish): the batch builds on the BRANCH
+    // head's manifest, publishes history without the HEAD swap, and advances the
+    // branch pointer — main is untouched until [[fastForward]]. Generation
+    // allocation is unchanged (the sidecar ledger is branch-agnostic), so batches,
+    // branch merges, and compactions still share one strictly-increasing id space.
+    val branchVersion = toBranch.map(resolveBranch(outDir, _))
     // Composite base comes from the sidecar transaction log, NOT batchId*nBuckets:
     // compact() writes its canonical generation at max+1, which is exactly the id
     // range `batchId * nBuckets` would hand the NEXT micro-batch — the skip-verify
@@ -1094,7 +1100,10 @@ object SnapshotSink {
       b
     })
     val ids = (base until base + nBuckets)
-    val existing = readManifest(spark, outDir)
+    val existing = branchVersion match {
+      case Some(v) => readManifestAt(spark, outDir, v)
+      case None => readManifest(spark, outDir)
+    }
     val (valid, _) = verifyEntries(spark, out,
       existing.filter(e => ids.contains(e.bucket)), deepVerify)
     val committed = valid.map(_.bucket).toSet
@@ -1111,7 +1120,13 @@ object SnapshotSink {
     val withBucket = flat
       .withColumn("bucket", lit(base) + bucketOf(col("doc_id"), nBuckets))
       .filter(col("bucket").isin(todo: _*))
-    commitWaveFlat(spark, out, withBucket, todo, kept, System.nanoTime(), io = io)
+    commitWaveFlat(spark, out, withBucket, todo, kept, System.nanoTime(), io = io,
+      headSwap = toBranch.isEmpty)
+    toBranch.foreach { name =>
+      val refs = branchRefs(outDir)
+      val bs = refs(name)._2
+      writeBranches(out, refs + (name -> (versions(outDir).last, bs)), io)
+    }
     todo
   }
 

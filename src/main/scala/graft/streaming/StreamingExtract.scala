@@ -49,12 +49,22 @@ object StreamingExtract {
    * ([[graft.sources.SnapshotSink.compact]]) — the maintenance knob bounding a
    * long-running stream's directory count. Default never compacts.
    */
+  /** `toBranch`: streaming write-audit-publish — every micro-batch commits to the
+    * named BRANCH ([[graft.sources.SnapshotSink.commitStreamBatch]]'s branch mode):
+    * main's HEAD and bytes are untouched while the drain runs, the staged result
+    * audits through the branch reads, and
+    * [[graft.sources.SnapshotSink.fastForward]] publishes it. Auto-compaction is
+    * refused with a branch (compact() operates on HEAD — fast-forward first). */
   def drainOnceCommitted(spark: SparkSession, tableDir: String, outDir: String,
       checkpointDir: String, nBuckets: Int = graft.sources.SnapshotSink.DefaultBuckets,
-      compactThreshold: Int = Int.MaxValue): Unit = {
+      compactThreshold: Int = Int.MaxValue, toBranch: Option[String] = None): Unit = {
+    require(toBranch.isEmpty || compactThreshold == Int.MaxValue,
+      "compactThreshold is a HEAD maintenance hook — a branch drain must " +
+        "fast-forward before compacting")
     val q = stream(spark, tableDir).writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.sources.SnapshotSink.commitStreamBatch(batch, outDir, batchId, nBuckets)
+        graft.sources.SnapshotSink.commitStreamBatch(batch, outDir, batchId, nBuckets,
+          toBranch = toBranch)
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -186,6 +186,47 @@ class SnapshotBranchSpec extends AnyFunSuite {
     assert(SnapshotSink.readCommitted(spark, out).count() > 0L)
   }
 
+  test("streaming drain into a branch: main untouched until fast-forward, re-delivery skips") {
+    val out = tmpDir("stream")
+    val table = tmpDir("stream-table")
+    val ckpt = tmpDir("stream-ckpt")
+    val numId = substring(col("doc_id"), 5,
+      graft.sources.Interleave.DocIdDigits).cast("long")
+    val half1 = docs.filter(numId < 250)
+    val half2 = docs.filter(numId >= 250)
+
+    SnapshotSink.run(half1, out, nBuckets = NB, waveSize = NB) // v1: the seed
+    val seedContent = contentOf(SnapshotSink.readCommitted(spark, out))
+    val seedBytes = mainDirState(out)
+    SnapshotSink.branch(out, "ingest", 1L)
+
+    // the backlog arrives; the WHOLE drain commits to the branch
+    half2.repartition(4).write.mode("append").parquet(table)
+    graft.streaming.StreamingExtract.drainOnceCommitted(
+      spark, table, out, ckpt, NB, toBranch = Some("ingest"))
+
+    // main: pointer, content, and bytes all untouched by the streamed ingest
+    assert(contentOf(SnapshotSink.readCommitted(spark, out)) === seedContent)
+    assert(mainDirState(out) === seedBytes)
+    // the branch holds seed + streamed = the full corpus extraction
+    val full = contentOf(graft.operators.ExtractPipeline.extractFlat(docs))
+    assert(contentOf(SnapshotSink.readCommittedAtBranch(spark, out, "ingest"))
+      === full)
+
+    // a re-delivered micro-batch finds its buckets committed ON THE BRANCH and
+    // skips them (the streaming exactly-once contract, branch form)
+    val flat0 = graft.operators.ExtractPipeline.extractFlat(
+      spark.read.parquet(table))
+    assert(SnapshotSink.commitStreamBatch(flat0, out, batchId = 0L,
+      toBranch = Some("ingest")) === Seq.empty)
+    assert(contentOf(SnapshotSink.readCommittedAtBranch(spark, out, "ingest"))
+      === full)
+
+    // publish: main becomes the audited full table
+    SnapshotSink.fastForward(spark, out, "ingest")
+    assert(contentOf(SnapshotSink.readCommitted(spark, out)) === full)
+  }
+
   test("fast-forward refuses when main advanced past the fork (lost-update guard)") {
     val out = tmpDir("ffguard")
     SnapshotSink.run(docs, out, nBuckets = NB, waveSize = NB) // v1
