@@ -370,6 +370,17 @@ object SnapshotSink {
     invalid.map(_.bucket).sorted
   }
 
+  /** [[verifySnapshot]] against a named BRANCH's manifest — the audit step of
+    * write-audit-publish: run it (with the branch reads) on the staged result
+    * before [[fastForward]] publishes it to main. */
+  def verifySnapshotAtBranch(spark: SparkSession, outDir: String, name: String,
+      deepVerify: Boolean = true): Seq[Long] = {
+    val out = Paths.get(outDir)
+    val entries = readManifestAt(spark, outDir, resolveBranch(outDir, name))
+    val (_, invalid) = verifyEntries(spark, out, entries, deepVerify)
+    invalid.map(_.bucket).sorted
+  }
+
   def readManifest(spark: SparkSession, outDir: String): Seq[ManifestEntry] =
     parseManifest(spark, Paths.get(outDir).resolve("manifest.json"))
 

@@ -222,6 +222,9 @@ class SnapshotBranchSpec extends AnyFunSuite {
     assert(contentOf(SnapshotSink.readCommittedAtBranch(spark, out, "ingest"))
       === full)
 
+    // audit (the A in WAP): the staged branch verifies end to end — both tiers
+    assert(SnapshotSink.verifySnapshotAtBranch(spark, out, "ingest") === Seq.empty)
+
     // publish: main becomes the audited full table
     SnapshotSink.fastForward(spark, out, "ingest")
     assert(contentOf(SnapshotSink.readCommitted(spark, out)) === full)
