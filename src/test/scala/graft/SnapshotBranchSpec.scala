@@ -266,6 +266,37 @@ class SnapshotBranchSpec extends AnyFunSuite {
     SnapshotSink.fastForward(spark, out, "rebased")
   }
 
+  test("a takedown on main expires shared branch state loudly — on every ref") {
+    val out = tmpDir("takedown")
+    SnapshotSink.run(docs, out, nBuckets = NB, waveSize = NB) // v1
+    SnapshotSink.branch(out, "wip", 1L)
+    // the branch rewrites bucket 2's family; bucket 5 stays SHARED with main
+    SnapshotSink.upsertDocsToBranch(spark, out, "wip",
+      updateRows(docIdsInBucket(out, 2L, 1)), NB)
+
+    // right-to-be-forgotten on main: victim lives in bucket 5 (shared)
+    val victim = docIdsInBucket(out, 5L, 1)
+    SnapshotSink.deleteDocs(spark, out, victim, NB)
+
+    // main reads on without the victim; the branch's manifest still references
+    // bucket 5's RECLAIMED pre-takedown files, so the branch read fails LOUDLY
+    // (takedown is unrecoverable on every ref — a branch can never resurrect
+    // deleted bytes; same contract as restore/readCommittedAt)
+    assert(SnapshotSink.readCommitted(spark, out)
+      .filter(col("doc_id").isInCollection(victim)).count() === 0L)
+    intercept[Exception] {
+      SnapshotSink.readCommittedAtBranch(spark, out, "wip")
+        .filter(col("doc_id").isInCollection(victim)).count()
+    }
+    // and the branch AUDIT flags exactly the takedown-rewritten shared bucket
+    assert(SnapshotSink.verifySnapshotAtBranch(spark, out, "wip") === Seq(5L))
+    // publishing the stale branch is refused twice over: main advanced past the
+    // fork (lost-update guard) AND the target references reclaimed bytes
+    intercept[IllegalStateException] {
+      SnapshotSink.fastForward(spark, out, "wip")
+    }
+  }
+
   test("successive branch merges allocate strictly increasing generations") {
     val out = tmpDir("gens")
     SnapshotSink.run(docs, out, nBuckets = NB, waveSize = NB) // v1
